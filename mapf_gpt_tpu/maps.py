@@ -1,0 +1,259 @@
+"""Map parsing, registries, and procedural generators.
+
+Capability parity with the reference's map handling:
+
+- ASCII grids with ``.`` free / ``#`` obstacle, loaded from ``maps.yaml``
+  registries (ref:dataset/tokenizer/generate_observations.py:94-111,
+  ref:example.py:29-32).
+- MovingAI ``.map`` text (ref:dataset/lacam/lacam3/src/graph.cpp:22-90).
+- Procedural random / maze / warehouse generators for benchmarks and dataset
+  generation (the reference relies on pogema's generators; these are
+  re-implementations with our own seeding, documented as such).
+
+All grids are numpy bool arrays, True = obstacle.  ``pad_grid`` adds the
+obs-radius obstacle border the reference env exposes via ``global_obstacles``
+(padded coordinates are the native frame of the whole engine, matching
+ref:dataset/tokenizer/generate_observations.py:113-125).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mapf_gpt_tpu.ops.vocab import C2G_RADIUS
+
+
+def parse_ascii_map(text: str) -> np.ndarray:
+    """Parse a ``.``/``#`` ASCII grid into a bool [H, W] obstacle array."""
+    rows = []
+    for line in text.split():
+        row = []
+        for ch in line:
+            if ch == ".":
+                row.append(False)
+            elif ch in "#@T":  # MovingAI uses @ and T for blocked terrain
+                row.append(True)
+            else:
+                raise ValueError(f"unsupported map symbol {ch!r}")
+        if row:
+            if rows and len(rows[-1]) != len(row):
+                raise ValueError("ragged map rows")
+            rows.append(row)
+    return np.array(rows, dtype=bool)
+
+
+def parse_movingai_map(text: str) -> np.ndarray:
+    """Parse MovingAI benchmark ``.map`` format (``type``/``height``/``width``/``map``)."""
+    lines = text.splitlines()
+    idx = next(i for i, ln in enumerate(lines) if ln.strip() == "map")
+    grid_lines = [ln for ln in lines[idx + 1:] if ln.strip()]
+    return parse_ascii_map("\n".join(grid_lines))
+
+
+def grid_to_str(grid: np.ndarray) -> str:
+    return "\n".join("".join("#" if c else "." for c in row) for row in grid)
+
+
+def pad_grid(grid: np.ndarray, border: int = C2G_RADIUS) -> np.ndarray:
+    """Surround with an obstacle border of width `border` (reference frame)."""
+    return np.pad(grid, border, constant_values=True)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+class MapRegistry:
+    """name -> bool grid registry, loadable from maps.yaml files."""
+
+    def __init__(self) -> None:
+        self._maps: dict[str, np.ndarray] = {}
+
+    def register(self, name: str, grid: np.ndarray | str) -> None:
+        if isinstance(grid, str):
+            grid = parse_ascii_map(grid)
+        self._maps[name] = np.asarray(grid, dtype=bool)
+
+    def load_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        for name, text in data.items():
+            self.register(str(name), text)
+
+    def load_reference_suite(self, suite_dir: str) -> None:
+        self.load_yaml(os.path.join(suite_dir, "maps.yaml"))
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self._maps[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._maps
+
+    def names(self) -> list[str]:
+        return sorted(self._maps)
+
+    def __len__(self) -> int:
+        return len(self._maps)
+
+
+# --------------------------------------------------------------------------
+# Procedural generators (own implementations; seeds are not pogema-compatible)
+# --------------------------------------------------------------------------
+
+def random_grid(size: int, density: float, seed: int) -> np.ndarray:
+    """Uniform random obstacles at the given density."""
+    rng = np.random.RandomState(seed)
+    return rng.rand(size, size) < density
+
+
+def maze_grid(size: int, seed: int, wall_components: int = 8) -> np.ndarray:
+    """Maze-like map: recursive-backtracker corridors on an odd lattice,
+    then knock out a few extra walls so the maze has loops (pogema-style
+    mazes are imperfect)."""
+    rng = np.random.RandomState(seed)
+    n = size if size % 2 == 1 else size + 1
+    grid = np.ones((n, n), dtype=bool)
+    start = (1, 1)
+    grid[start] = False
+    stack = [start]
+    while stack:
+        i, j = stack[-1]
+        nbrs = [
+            (ni, nj)
+            for ni, nj in ((i - 2, j), (i + 2, j), (i, j - 2), (i, j + 2))
+            if 0 < ni < n - 1 and 0 < nj < n - 1 and grid[ni, nj]
+        ]
+        if not nbrs:
+            stack.pop()
+            continue
+        ni, nj = nbrs[rng.randint(len(nbrs))]
+        grid[(i + ni) // 2, (j + nj) // 2] = False
+        grid[ni, nj] = False
+        stack.append((ni, nj))
+    # open extra passages to create loops
+    walls = np.argwhere(grid[1:-1, 1:-1]) + 1
+    if len(walls):
+        extra = max(1, len(walls) // wall_components)
+        for k in rng.choice(len(walls), size=min(extra, len(walls)), replace=False):
+            grid[tuple(walls[k])] = False
+    return grid[:size, :size]
+
+
+def warehouse_grid(
+    rows: int = 8, cols: int = 10, shelf_h: int = 2, shelf_w: int = 5,
+    aisle: int = 1, margin: int = 4,
+) -> np.ndarray:
+    """Warehouse layout: a lattice of shelf blocks separated by aisles
+    (shaped after the wfi_warehouse map used by the 03-warehouse suite)."""
+    h = rows * shelf_h + (rows + 1) * aisle
+    w = cols * shelf_w + (cols + 1) * aisle + 2 * margin
+    grid = np.zeros((h, w), dtype=bool)
+    for r in range(rows):
+        for c in range(cols):
+            i0 = aisle + r * (shelf_h + aisle)
+            j0 = margin + aisle + c * (shelf_w + aisle)
+            grid[i0:i0 + shelf_h, j0:j0 + shelf_w] = True
+    return grid
+
+
+# --------------------------------------------------------------------------
+# Instance building: start/goal placement
+# --------------------------------------------------------------------------
+
+@dataclass
+class Instance:
+    """A single MAPF instance in *padded* coordinates."""
+
+    grid: np.ndarray                 # bool [H, W] incl. obstacle border
+    starts: np.ndarray               # int32 [A, 2]
+    goals: np.ndarray                # int32 [A, 2]
+    map_name: str = ""
+    seed: int = 0
+    lifelong_goals: np.ndarray | None = None   # int32 [A, K, 2] for on_target=restart
+
+    @property
+    def num_agents(self) -> int:
+        return len(self.starts)
+
+
+def _components(grid: np.ndarray) -> np.ndarray:
+    """Connected components of free cells (4-connectivity), 0 for obstacles.
+
+    Mirrors ref:mapf_gpt/observation_generator.cpp:4-41 (mark_components)."""
+    h, w = grid.shape
+    comp = np.zeros((h, w), dtype=np.int32)
+    cur = 0
+    from collections import deque
+
+    for si in range(h):
+        for sj in range(w):
+            if grid[si, sj] or comp[si, sj]:
+                continue
+            cur += 1
+            comp[si, sj] = cur
+            q = deque([(si, sj)])
+            while q:
+                i, j = q.popleft()
+                for ni, nj in ((i - 1, j), (i + 1, j), (i, j - 1), (i, j + 1)):
+                    if 0 <= ni < h and 0 <= nj < w and not grid[ni, nj] and not comp[ni, nj]:
+                        comp[ni, nj] = cur
+                        q.append((ni, nj))
+    return comp
+
+
+def sample_instance(
+    grid: np.ndarray,
+    num_agents: int,
+    seed: int,
+    map_name: str = "",
+    pad: bool = True,
+    num_lifelong_goals: int = 0,
+) -> Instance:
+    """Sample unique start cells and unique goal cells on free cells, with each
+    agent's start and goal in the same connected component (solvability, as
+    pogema guarantees).  Our own seeding scheme (numpy RandomState(seed));
+    pogema's RNG stream is not reproduced.
+    """
+    if pad:
+        grid = pad_grid(grid)
+    rng = np.random.RandomState(seed)
+    comp = _components(grid)
+    free = np.argwhere(~grid)
+    if len(free) < num_agents:
+        raise ValueError("not enough free cells")
+    order = rng.permutation(len(free))
+    starts = free[order[:num_agents]].astype(np.int32)
+
+    # goals: per component, permute that component's remaining free cells
+    goals = np.zeros_like(starts)
+    used = set()
+    for a in range(num_agents):
+        c = comp[starts[a, 0], starts[a, 1]]
+        cells = free[comp[free[:, 0], free[:, 1]] == c]
+        perm = rng.permutation(len(cells))
+        for k in perm:
+            cell = (int(cells[k, 0]), int(cells[k, 1]))
+            if cell not in used:
+                goals[a] = cells[k]
+                used.add(cell)
+                break
+        else:
+            raise ValueError("could not place unique goal")
+
+    lifelong = None
+    if num_lifelong_goals > 0:
+        lifelong = np.zeros((num_agents, num_lifelong_goals, 2), dtype=np.int32)
+        for a in range(num_agents):
+            c = comp[starts[a, 0], starts[a, 1]]
+            cells = free[comp[free[:, 0], free[:, 1]] == c]
+            idx = rng.randint(0, len(cells), size=num_lifelong_goals)
+            lifelong[a] = cells[idx]
+        goals = lifelong[:, 0].copy()
+
+    return Instance(grid=grid, starts=starts, goals=goals, map_name=map_name,
+                    seed=seed, lifelong_goals=lifelong)

@@ -1,0 +1,126 @@
+"""On-device observation tokenization: env state -> int32 [A, 256] contexts.
+
+The TPU-native replacement for the reference's stateful C++ observation
+generator (ref:mapf_gpt/observation_generator.cpp:288-528).  With dense
+per-goal cost2go fields precomputed at reset (ops/cost2go.py), every per-step
+quantity becomes a static-shape gather / arithmetic op that XLA fuses into the
+policy's forward pass:
+
+1. **cost2go window** — 11x11 ``dynamic_slice`` around each agent, value
+   relative to the center, clamped to ±20 with ±40 sentinels, unreachable
+   cells -80 (ref:observation_generator.cpp:288-311).
+2. **greedy-action bits** — one bit per u/d/l/r move that strictly decreases
+   cost2go (ref:observation_generator.cpp:412-430).  Computed from the dense
+   field; the reference's windowed variant returns "unknown" outside its 2x64
+   window (ref:observation_generator.cpp:313-319), a CPU-memory artifact this
+   design removes.
+3. **neighbor records** — agents within Chebyshev radius 5, stable-sorted by
+   (Manhattan distance, agent id), nearest 13 including self
+   (ref:observation_generator.cpp:487-514).  Dynamic-length lists become a
+   masked fixed-size top-k over unique integer sort keys.
+4. **token assembly** — the arithmetic vocab map from ops/vocab.py; layout
+   [121 cost2go][13 x 10 agent record]['!' x 5]
+   (ref:dataset/tokenizer/tokenizer.py:49-102).
+
+Everything is per-instance ([A, ...]); batch via ``jax.vmap``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mapf_gpt_tpu.ops import vocab as V
+
+
+def _c2g_window_tokens(c2g: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """11x11 egocentric cost2go tokens. c2g: int32 [A,H,W]; pos: int32 [A,2].
+
+    Returns int32 [A, 121].
+    """
+    r = V.C2G_RADIUS
+    win = V.C2G_WINDOW
+
+    def one(field, p):
+        return jax.lax.dynamic_slice(field, (p[0] - r, p[1] - r), (win, win))
+
+    windows = jax.vmap(one)(c2g, pos)                      # [A, 11, 11]
+    center = windows[:, r, r][:, None, None]
+    delta = windows - center
+    tok = jnp.where(
+        delta > V.C2G_LIMIT, V.ID_FAR_POS,
+        jnp.where(delta < -V.C2G_LIMIT, V.ID_FAR_NEG, delta + V.ID_COORD_ZERO))
+    tok = jnp.where(windows < 0, V.ID_UNREACHABLE, tok)
+    return tok.reshape(windows.shape[0], win * win).astype(jnp.int32)
+
+
+def _greedy_tokens(c2g: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Greedy next-action 4-bit mask token per agent. Returns int32 [A]."""
+    moves = jnp.asarray(V.GREEDY_MOVES, dtype=jnp.int32)   # [4, 2]
+    nbr = pos[:, None, :] + moves[None, :, :]              # [A, 4, 2]
+
+    def one(field, p, nbrs):
+        cur = field[p[0], p[1]]
+        nv = field[nbrs[:, 0], nbrs[:, 1]]
+        return jnp.logical_and(nv >= 0, cur > nv)
+
+    bits = jax.vmap(one)(c2g, pos, nbr)                    # [A, 4] bool, u d l r
+    weights = jnp.asarray([8, 4, 2, 1], dtype=jnp.int32)
+    return V.ID_NEXT_ACTION_BASE + jnp.sum(bits * weights, axis=1)
+
+
+def _neighbor_indices(pos: jnp.ndarray, active: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-13 neighbor selection. Returns (idx [A,13], valid [A,13])."""
+    a = pos.shape[0]
+    d = pos[None, :, :] - pos[:, None, :]                  # [A, A, 2] (other - self)
+    adx, ady = jnp.abs(d[..., 0]), jnp.abs(d[..., 1])
+    within = jnp.logical_and(jnp.maximum(adx, ady) <= V.AGENTS_RADIUS,
+                             active[None, :])
+    within = jnp.logical_and(within, active[:, None])
+    manh = adx + ady
+    ids = jax.lax.broadcasted_iota(jnp.int32, (a, a), 1)
+    big = jnp.int32(a * (2 * V.AGENTS_RADIUS + 1) + a)     # > any real key
+    key = jnp.where(within, manh * a + ids, big)
+    sorted_key, order = jax.lax.sort_key_val(key, ids, dimension=1)
+    k = min(V.NUM_NEIGHBORS, a)
+    idx = order[:, :k]
+    valid = sorted_key[:, :k] < big
+    if k < V.NUM_NEIGHBORS:
+        padn = V.NUM_NEIGHBORS - k
+        idx = jnp.pad(idx, ((0, 0), (0, padn)))
+        valid = jnp.pad(valid, ((0, 0), (0, padn)))
+    return idx, valid
+
+
+def observe(c2g: jnp.ndarray, pos: jnp.ndarray, goal: jnp.ndarray,
+            hist: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """Full observation tokenization for one env instance.
+
+    Args:
+      c2g: int32 [A, H, W] current-goal cost2go fields (envs.env.current_c2g).
+      pos, goal: int32 [A, 2]; hist: int32 [A, P] symbols 0..5; active: bool [A].
+
+    Returns:
+      int32 [A, 256] token contexts.
+    """
+    a = pos.shape[0]
+    c2g_tok = _c2g_window_tokens(c2g, pos)                 # [A, 121]
+    greedy_tok = _greedy_tokens(c2g, pos)                  # [A]
+    hist_tok = V.ID_ACTION_BASE + hist                     # [A, P]
+
+    idx, valid = _neighbor_indices(pos, active)            # [A, 13]
+
+    rel_pos = pos[idx] - pos[:, None, :]                   # [A, 13, 2]
+    rel_goal = jnp.clip(goal[idx] - pos[:, None, :],
+                        -V.C2G_LIMIT, V.C2G_LIMIT)
+    rec = jnp.concatenate([
+        rel_pos + V.ID_COORD_ZERO,
+        rel_goal + V.ID_COORD_ZERO,
+        hist_tok[idx],                                     # [A, 13, P]
+        greedy_tok[idx][:, :, None],
+    ], axis=2)                                             # [A, 13, 10]
+    rec = jnp.where(valid[:, :, None], rec, V.ID_PAD)
+    agent_tok = rec.reshape(a, V.AGENT_TOKENS)
+
+    pad = jnp.full((a, V.TAIL_PAD), V.ID_PAD, dtype=jnp.int32)
+    return jnp.concatenate([c2g_tok, agent_tok, pad], axis=1).astype(jnp.int32)

@@ -1,0 +1,106 @@
+"""Fused rollout harness: env -> tokens -> policy -> sample -> step, on-device.
+
+The reference's per-step pipeline crosses three boundaries — Python env loop,
+pybind C++ tokenizer, host->GPU tensor copy (ref:mapf_gpt/inference.py:87-172,
+SURVEY §3.5).  Here the whole loop is one jitted ``lax.scan``: a batch of env
+instances advances ``max_episode_steps`` with zero host interaction, and only
+final metrics come back.
+
+- :func:`replay_rollout` — single instance, replays a fixed commanded-action
+  sequence, returning per-step positions + token contexts (parity tests).
+- :func:`make_batch_rollout` — B instances under ``vmap``; the policy forward
+  runs once per step over all B*A agent contexts (the reference's cross-env
+  agent batching, ref:inference.py:151-172, without the host round-trip).
+
+Sharding across a mesh is layered on top in parallel/mesh.py (env batch on the
+``data`` axis, params replicated).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from mapf_gpt_tpu.envs import env as menv
+from mapf_gpt_tpu.envs.metrics import EpisodeMetrics, episode_metrics
+from mapf_gpt_tpu.models.gpt import GPT, GPTConfig, act
+from mapf_gpt_tpu.ops.obs import observe
+
+
+def _tokens_of(state: menv.EnvState) -> jnp.ndarray:
+    c2g = menv.current_c2g(state)
+    return observe(c2g, state.pos, state.goal, state.hist, state.active)
+
+
+@partial(jax.jit, static_argnums=0)
+def replay_rollout(spec: menv.MapfEnvSpec, state: menv.EnvState,
+                   actions_seq: jnp.ndarray):
+    """Replay commanded actions through one env instance.
+
+    actions_seq: int32 [S, A].  Returns (positions [S+1, A, 2],
+    tokens [S+1, A, 256]) — index 0 is the post-reset state, matching the
+    reference's create_agents + update_agents(-1) flow
+    (ref:mapf_gpt/inference.py:133-145).
+    """
+
+    def body(st, acts):
+        out = (st.pos, _tokens_of(st))
+        return menv.step(spec, st, acts), out
+
+    final, (positions, tokens) = jax.lax.scan(body, state, actions_seq)
+    positions = jnp.concatenate([positions, final.pos[None]], axis=0)
+    tokens = jnp.concatenate([tokens, _tokens_of(final)[None]], axis=0)
+    return positions, tokens
+
+
+def make_batch_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
+                       do_sample: bool = True,
+                       policy_batch: int | None = None) -> Callable:
+    """Build a jitted full-episode runner over a batch of env instances.
+
+    Returns run(params, states, key) -> (final_states, EpisodeMetrics) where
+    every array in `states` has a leading batch dim B.  The policy forward
+    processes all B*A contexts per step (optionally in `policy_batch` chunks
+    to bound memory for large models — the analogue of the reference's
+    batch_size=2048 chunking, ref:inference.py:87-101).
+    """
+    model = GPT(cfg)
+
+    def policy(params, tokens2d):
+        if policy_batch is None or tokens2d.shape[0] <= policy_batch:
+            return model.apply(params, tokens2d)
+        n = tokens2d.shape[0]
+        assert n % policy_batch == 0, (n, policy_batch)
+        chunks = tokens2d.reshape(n // policy_batch, policy_batch, -1)
+        return jax.lax.map(lambda c: model.apply(params, c), chunks).reshape(
+            n, -1)
+
+    @jax.jit
+    def run(params, states, key):
+        b = states.pos.shape[0]
+        a = states.pos.shape[1]
+
+        def step_once(carry, _):
+            sts, k = carry
+            tokens = jax.vmap(_tokens_of)(sts)          # [B, A, 256]
+            logits = policy(params, tokens.reshape(b * a, -1))
+            k, sub = jax.random.split(k)
+            actions = act(logits, sub, do_sample=do_sample)
+            sts = jax.vmap(partial(menv.step, spec))(
+                sts, actions.reshape(b, a).astype(jnp.int32))
+            return (sts, k), None
+
+        (final, _), _ = jax.lax.scan(step_once, (states, key), None,
+                                     length=spec.max_episode_steps)
+        return final, jax.vmap(episode_metrics)(final)
+
+    return run
+
+
+def batch_reset(spec: menv.MapfEnvSpec, grids, starts, goals_queues, actives):
+    """vmapped reset over stacked instance arrays."""
+    return jax.jit(jax.vmap(partial(menv.reset, spec)))(
+        grids, starts, goals_queues, actives)

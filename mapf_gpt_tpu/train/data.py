@@ -1,0 +1,100 @@
+"""Arrow-shard streaming input pipeline for imitation training.
+
+Reference: ref:dataset/fast_data_loader.py — pyarrow memory-mapped shards of
+2^21 x 256 int8 contexts with int8 gt actions, schema
+``{input_tensors: list<int8>[256], gt_actions: int8}``
+(ref:dataset/generate_dataset.py:188-212), contiguous file split across
+ranks, in-file permutation shuffle, infinite iterator.
+
+Differences (deliberate fixes / TPU shape):
+
+- files are sharded by **global process index** (the reference splits by
+  LOCAL_RANK, silently wrong multi-node — SURVEY §2.3 notes this bug at
+  ref:fast_data_loader.py:20-28),
+- targets are extracted as the single last-position action id [B] rather than
+  a 256-wide -1-filled row (ref:fast_data_loader.py:34,58) — the loss only
+  reads that position,
+- batches are yielded as numpy [accum, B, 256] / [accum, B] micro-batch
+  stacks ready for the scan-based train step; device placement is the
+  caller's job (parallel/mesh.shard_batch).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator
+
+import numpy as np
+
+
+class ArrowShardStream:
+    """Infinite shuffled stream over Arrow shard files."""
+
+    def __init__(self, path: str, batch_size: int, grad_accum: int = 1,
+                 process_index: int = 0, process_count: int = 1,
+                 seed: int = 1337, context: int = 256):
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.arrow")))
+        else:
+            files = [path]
+        if not files:
+            raise FileNotFoundError(f"no .arrow shards under {path}")
+        # contiguous split by global process index
+        per = max(len(files) // process_count, 1)
+        lo = process_index * per
+        hi = len(files) if process_index == process_count - 1 else lo + per
+        self.files = files[lo:hi] or files[:1]
+        self.batch_size = batch_size
+        self.grad_accum = grad_accum
+        self.context = context
+        self.rng = np.random.RandomState(seed + process_index)
+
+    def _load_file(self, path: str) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow as pa
+
+        with pa.memory_map(path) as source:
+            table = pa.ipc.open_file(source).read_all()
+        tokens = np.asarray(table["input_tensors"].combine_chunks()
+                            .flatten(), dtype=np.int8)
+        tokens = tokens.reshape(-1, self.context)
+        actions = np.asarray(table["gt_actions"].combine_chunks(),
+                             dtype=np.int8)
+        perm = self.rng.permutation(len(tokens))
+        return tokens[perm], actions[perm]
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yields (tokens int32 [accum, B, 256], targets int32 [accum, B])."""
+        need = self.batch_size * self.grad_accum
+        while True:
+            order = self.rng.permutation(len(self.files))
+            for fi in order:
+                tokens, actions = self._load_file(self.files[fi])
+                n = (len(tokens) // need) * need
+                for i in range(0, n, need):
+                    x = tokens[i:i + need].astype(np.int32).reshape(
+                        self.grad_accum, self.batch_size, self.context)
+                    y = actions[i:i + need].astype(np.int32).reshape(
+                        self.grad_accum, self.batch_size)
+                    yield x, y
+
+
+def write_arrow_shard(path: str, tokens: np.ndarray,
+                      actions: np.ndarray) -> None:
+    """Write a shard in the reference schema
+    (ref:dataset/generate_dataset.py:188-212)."""
+    import pyarrow as pa
+
+    tokens = np.ascontiguousarray(tokens, dtype=np.int8)
+    actions = np.ascontiguousarray(actions, dtype=np.int8)
+    # reference uses list<int8>; keep variable-size list for schema parity
+    offsets = np.arange(0, (len(tokens) + 1) * tokens.shape[1],
+                        tokens.shape[1], dtype=np.int32)
+    larr = pa.ListArray.from_arrays(pa.array(offsets),
+                                    pa.array(tokens.reshape(-1),
+                                             type=pa.int8()))
+    table = pa.table({"input_tensors": larr,
+                      "gt_actions": pa.array(actions, type=pa.int8())})
+    with pa.OSFile(path, "wb") as sink:
+        with pa.ipc.new_file(sink, table.schema) as writer:
+            writer.write_table(table)

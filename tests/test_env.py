@@ -1,0 +1,134 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapf_gpt_tpu.envs import env as menv
+from mapf_gpt_tpu.envs.dynamics import step_positions
+from mapf_gpt_tpu.envs.metrics import episode_metrics
+from mapf_gpt_tpu.maps import pad_grid
+
+A_WAIT, A_UP, A_DOWN, A_LEFT, A_RIGHT = range(5)
+
+
+def _mini_grid(h=5, w=7):
+    return jnp.asarray(pad_grid(np.zeros((h, w), dtype=bool), 1))
+
+
+def _step_pos(grid, pos, actions, active=None):
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+    actions = jnp.asarray(actions, dtype=jnp.int32)
+    if active is None:
+        active = jnp.ones((pos.shape[0],), dtype=bool)
+    return np.asarray(step_positions(grid, pos, actions, active))
+
+
+class TestDynamics:
+    def test_free_moves(self):
+        grid = _mini_grid()
+        out = _step_pos(grid, [[2, 2], [3, 3]], [A_RIGHT, A_DOWN])
+        np.testing.assert_array_equal(out, [[2, 3], [4, 3]])
+
+    def test_obstacle_blocks(self):
+        grid = _mini_grid()
+        out = _step_pos(grid, [[1, 1]], [A_UP])  # border above
+        np.testing.assert_array_equal(out, [[1, 1]])
+
+    def test_vertex_conflict_both_cancel(self):
+        grid = _mini_grid()
+        # both want (2,2)
+        out = _step_pos(grid, [[2, 1], [2, 3]], [A_RIGHT, A_LEFT])
+        np.testing.assert_array_equal(out, [[2, 1], [2, 3]])
+
+    def test_swap_conflict_cancels(self):
+        grid = _mini_grid()
+        out = _step_pos(grid, [[2, 2], [2, 3]], [A_RIGHT, A_LEFT])
+        np.testing.assert_array_equal(out, [[2, 2], [2, 3]])
+
+    def test_move_into_stationary_cancels(self):
+        grid = _mini_grid()
+        out = _step_pos(grid, [[2, 2], [2, 3]], [A_RIGHT, A_WAIT])
+        np.testing.assert_array_equal(out, [[2, 2], [2, 3]])
+
+    def test_cascade_cancellation(self):
+        grid = _mini_grid()
+        # agent0 blocked by border -> stays; agent1 follows into agent0's cell ->
+        # must cascade-cancel; agent2 follows agent1 likewise.
+        out = _step_pos(grid, [[1, 1], [2, 1], [3, 1]], [A_UP, A_UP, A_UP])
+        np.testing.assert_array_equal(out, [[1, 1], [2, 1], [3, 1]])
+
+    def test_train_of_agents_moves(self):
+        grid = _mini_grid()
+        # a moving chain with free head advances intact
+        out = _step_pos(grid, [[2, 3], [2, 2], [2, 1]], [A_RIGHT, A_RIGHT, A_RIGHT])
+        np.testing.assert_array_equal(out, [[2, 4], [2, 3], [2, 2]])
+
+    def test_inactive_agents_ignored(self):
+        grid = _mini_grid()
+        active = jnp.asarray([True, False])
+        out = _step_pos(grid, [[2, 2], [2, 3]], [A_RIGHT, A_WAIT], active)
+        np.testing.assert_array_equal(out[0], [2, 3])  # moves onto inactive slot's cell
+
+
+def _make_env(starts, goals, h=5, w=7, max_steps=16, on_target="nothing"):
+    starts = np.asarray(starts, dtype=np.int32)
+    a = len(starts)
+    spec = menv.MapfEnvSpec(height=h + 2, width=w + 2, num_agents=a,
+                            max_episode_steps=max_steps, on_target=on_target)
+    grid = _mini_grid(h, w)
+    goals_queue = np.asarray(goals, dtype=np.int32)[:, None, :]
+    state = menv.reset(spec, grid, jnp.asarray(starts),
+                       jnp.asarray(goals_queue), jnp.ones((a,), dtype=bool))
+    return spec, state
+
+
+class TestEnv:
+    def test_reaches_goal_and_terminates(self):
+        spec, state = _make_env([[1, 1]], [[1, 3]])
+        step = jax.jit(menv.step, static_argnums=0)
+        state = step(spec, state, jnp.asarray([A_RIGHT]))
+        assert not bool(state.done)
+        state = step(spec, state, jnp.asarray([A_RIGHT]))
+        assert bool(state.done)
+        m = episode_metrics(state)
+        assert float(m.csr) == 1.0 and float(m.isr) == 1.0
+        assert float(m.soc) == 2.0 and float(m.ep_length) == 2.0
+
+    def test_frozen_after_done(self):
+        spec, state = _make_env([[1, 1]], [[1, 2]])
+        state = menv.step(spec, state, jnp.asarray([A_RIGHT]))
+        assert bool(state.done)
+        state2 = menv.step(spec, state, jnp.asarray([A_RIGHT]))
+        np.testing.assert_array_equal(np.asarray(state2.pos), np.asarray(state.pos))
+        assert int(state2.t) == int(state.t)
+
+    def test_truncation_and_metrics(self):
+        spec, state = _make_env([[1, 1], [3, 1]], [[1, 5], [3, 1]], max_steps=2)
+        for _ in range(4):
+            state = menv.step(spec, state, jnp.asarray([A_WAIT, A_WAIT]))
+        m = episode_metrics(state)
+        assert int(state.t) == 2
+        assert float(m.csr) == 0.0
+        assert float(m.isr) == 0.5  # agent1 started on goal
+        assert float(m.ep_length) == 2.0
+
+    def test_history_records_commanded_action(self):
+        spec, state = _make_env([[1, 1]], [[3, 3]])
+        # command a blocked move (up into border): position unchanged but
+        # history must record 'u' (symbol 2)
+        state = menv.step(spec, state, jnp.asarray([A_UP]))
+        np.testing.assert_array_equal(np.asarray(state.pos), [[1, 1]])
+        assert state.hist[0, -1] == A_UP + 1
+        assert np.all(np.asarray(state.hist[0, :-1]) == 0)  # 'n' padding
+
+    def test_lifelong_goal_advance(self):
+        starts = np.asarray([[1, 1]], dtype=np.int32)
+        spec = menv.MapfEnvSpec(height=7, width=9, num_agents=1,
+                                max_episode_steps=8, on_target="restart",
+                                num_queued_goals=2)
+        goals_queue = jnp.asarray([[[1, 2], [1, 4]]], dtype=jnp.int32)
+        state = menv.reset(spec, _mini_grid(), jnp.asarray(starts), goals_queue,
+                           jnp.ones((1,), dtype=bool))
+        state = menv.step(spec, state, jnp.asarray([A_RIGHT]))
+        # reached first goal -> now targeting second
+        np.testing.assert_array_equal(np.asarray(state.goal), [[1, 4]])
+        assert not bool(state.done)  # lifelong never terminates early
