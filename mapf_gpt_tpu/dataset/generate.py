@@ -1,0 +1,181 @@
+"""Imitation-dataset generation: LaCAM expert -> on-device tokenizer -> Arrow.
+
+The reference pipeline (ref:dataset/generate_dataset.py:258-278) runs the
+expert through pogema + a second, offline C++ tokenizer, then dedups,
+balances and shards.  Here the expert's joint paths are replayed through the
+*same* jitted env + tokenizer used at inference (parallel/rollout.replay_rollout),
+eliminating the reference's subtle train/inference tokenizer mismatch
+(SURVEY §1 note: the two reference implementations sort neighbors by
+different keys; ours is single-sourced).
+
+Steps per map shard (matching ref:generate_dataset.py semantics):
+  1. sample instances, solve with escalating LaCAM budgets; skip failures
+     (the reference skips CSR<1 episodes, ref:generate_observations.py:44-45),
+  2. replay expert actions -> per-agent 256-token contexts; gt action per
+     step; steps after an agent's last real move are marked 5 = "wait on
+     goal" (ref:generate_observations.py:66-91),
+  3. global sha256 dedup of contexts (ref:generate_dataset.py:43-45,65-80),
+  4. action balancing: keep waits (ids 0 and 5) under `max_wait_frac`,
+     relabeling kept 5s to 0 (ref:generate_dataset.py:81-96),
+  5. shuffle and write Arrow shards in the reference schema.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from mapf_gpt_tpu.dataset import expert as expert_mod
+from mapf_gpt_tpu.maps import Instance, maze_grid, random_grid, sample_instance
+from mapf_gpt_tpu.train.data import write_arrow_shard
+
+WAIT_MARKER = 5  # temporary label for "waiting on goal" before balancing
+
+
+@dataclass
+class GenConfig:
+    num_agents: int = 8
+    map_size: int = 17
+    maze_fraction: float = 0.9      # 90:10 maze:random (ref:README.md:84)
+    max_wait_frac: float = 0.2
+    samples_per_shard: int = 2 ** 17
+    seed: int = 0
+    expert_time_limits: tuple = expert_mod.TIME_LIMITS
+
+
+def episode_samples(inst: Instance, paths: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Replay an expert solution -> (tokens int8 [N, 256], gt int8 [N])."""
+    import jax
+    import jax.numpy as jnp
+
+    from mapf_gpt_tpu.envs import env as menv
+    from mapf_gpt_tpu.parallel.rollout import replay_rollout
+
+    actions = expert_mod.paths_to_actions(paths)           # [T, A]
+    t_len, a = actions.shape
+    # pad T to a bucket so replay_rollout compiles once per bucket, not per
+    # episode; padded steps are waits-on-goal and get the 5 marker below
+    t_pad = max(32, -(-t_len // 32) * 32)
+    if t_pad > t_len:
+        actions = np.vstack([actions,
+                             np.zeros((t_pad - t_len, a), dtype=actions.dtype)])
+        t_len = t_pad
+    h, w = inst.grid.shape
+    spec = menv.MapfEnvSpec(height=h, width=w, num_agents=a,
+                            max_episode_steps=10 ** 6)
+    state = jax.jit(menv.reset, static_argnums=0)(
+        spec, jnp.asarray(inst.grid), jnp.asarray(inst.starts),
+        jnp.asarray(inst.goals)[:, None, :], jnp.ones((a,), bool))
+    _, tokens = replay_rollout(spec, state,
+                               jnp.asarray(actions, dtype=jnp.int32))
+    tokens = np.asarray(tokens)                            # [T+1, A, 256]
+
+    # gt action per snapshot; final snapshot gets a trailing wait
+    # (ref:generate_observations.py:66)
+    gts = np.vstack([actions, np.zeros((1, a), dtype=np.int32)])  # [T+1, A]
+    # steps after the agent's last non-wait action = waiting on goal
+    for j in range(a):
+        nz = np.nonzero(gts[:, j])[0]
+        goal_t = nz[-1] if len(nz) else -1
+        gts[goal_t + 1:, j] = WAIT_MARKER
+    n = (t_len + 1) * a
+    return (tokens.reshape(n, -1).astype(np.int8),
+            gts.reshape(n).astype(np.int8))
+
+
+def dedup(tokens: np.ndarray, gts: np.ndarray,
+          seen: set | None = None) -> tuple[np.ndarray, np.ndarray, set]:
+    """sha256-of-bytes dedup (ref:generate_dataset.py:43-45)."""
+    seen = set() if seen is None else seen
+    keep = []
+    for i in range(len(tokens)):
+        h = hashlib.sha256(tokens[i].tobytes()).digest()
+        if h not in seen:
+            seen.add(h)
+            keep.append(i)
+    return tokens[keep], gts[keep], seen
+
+
+def balance_waits(tokens: np.ndarray, gts: np.ndarray, rng: np.random.RandomState,
+                  max_wait_frac: float = 0.2) -> tuple[np.ndarray, np.ndarray]:
+    """Cap the share of wait samples (gt 0 or 5) at `max_wait_frac`,
+    relabeling kept wait-on-goal markers to action 0
+    (ref:generate_dataset.py:81-96)."""
+    is_wait = (gts == 0) | (gts == WAIT_MARKER)
+    n_moves = int((~is_wait).sum())
+    max_waits = int(max_wait_frac / max(1e-9, 1 - max_wait_frac) * n_moves)
+    wait_idx = np.nonzero(is_wait)[0]
+    keep_mask = np.ones(len(gts), dtype=bool)
+    if len(wait_idx) > max_waits:
+        drop = rng.choice(wait_idx, size=len(wait_idx) - max_waits,
+                          replace=False)
+        keep_mask[drop] = False
+    tokens, gts = tokens[keep_mask], gts[keep_mask].copy()
+    gts[gts == WAIT_MARKER] = 0
+    return tokens, gts
+
+
+def generate_shards(out_dir: str, total_samples: int, cfg: GenConfig,
+                    progress=lambda *_: None) -> dict:
+    """Generate Arrow shards until `total_samples` are collected."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(cfg.seed)
+    seen: set = set()
+    buf_toks, buf_gts = [], []
+    collected = 0
+    shard_idx = 0
+    episodes = solved = 0
+    inst_seed = cfg.seed * 1_000_003
+
+    def flush(n: int):
+        nonlocal shard_idx, collected
+        toks = np.concatenate(buf_toks)
+        gts = np.concatenate(buf_gts)
+        buf_toks.clear()
+        buf_gts.clear()
+        perm = rng.permutation(len(toks))
+        toks, gts = toks[perm][:n], gts[perm][:n]
+        if len(toks) > n:
+            buf_toks.append(toks[n:])
+            buf_gts.append(gts[n:])
+        path = os.path.join(out_dir, f"chunk_{cfg.seed}_part_{shard_idx}.arrow")
+        write_arrow_shard(path, toks, gts)
+        shard_idx += 1
+        collected += len(toks)
+
+    while collected + sum(len(t) for t in buf_toks) < total_samples:
+        inst_seed += 1
+        episodes += 1
+        use_maze = rng.rand() < cfg.maze_fraction
+        grid = (maze_grid(cfg.map_size, inst_seed) if use_maze
+                else random_grid(cfg.map_size, 0.3, inst_seed))
+        try:
+            inst = sample_instance(grid, cfg.num_agents, inst_seed)
+        except ValueError:
+            continue
+        paths = expert_mod.solve_with_escalation(
+            inst.grid, inst.starts,
+            expert_mod.dedup_goals(inst.grid, inst.goals),
+            seed=inst_seed, time_limits=cfg.expert_time_limits)
+        if paths is None:
+            continue  # expert failed: skip instance (CSR<1 rule)
+        solved += 1
+        toks, gts = episode_samples(inst, paths)
+        toks, gts, seen = dedup(toks, gts, seen)
+        toks, gts = balance_waits(toks, gts, rng, cfg.max_wait_frac)
+        if len(toks):
+            buf_toks.append(toks)
+            buf_gts.append(gts)
+        buffered = sum(len(t) for t in buf_toks)
+        progress(collected + buffered, total_samples)
+        if buffered >= cfg.samples_per_shard:
+            flush(cfg.samples_per_shard)
+    if buf_toks:
+        flush(min(sum(len(t) for t in buf_toks),
+                  total_samples - collected))
+    return {"episodes": episodes, "solved": solved, "samples": collected,
+            "shards": shard_idx}

@@ -1,0 +1,244 @@
+"""Benchmark harness: suite configs -> batched on-device episodes -> metrics.
+
+The reference delegates this to pogema-toolbox (`evaluation(config, dir)`,
+ref:benchmark.py:20-50): YAML `grid_search` expansion over map / agent count /
+seed, dask process fan-out, metric aggregation, tabular + plot views.  Here
+the fan-out is a batch dimension: episodes are grouped by static shape
+(padded map tier, agent-slot tier), vmapped under jit, and optionally sharded
+over the mesh `data` axis — the policy runs once per step for every agent of
+every episode in the group.
+
+Suite YAML schema matches the reference's eval configs
+(ref:eval_configs/01-random/01-random.yaml): an `environment` block whose
+scalar values may be replaced by `{grid_search: [...]}`, an `algorithms`
+block, and `results_views`.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from mapf_gpt_tpu.maps import MapRegistry, pad_grid, sample_instance
+
+METRIC_KEYS = ("CSR", "ISR", "SoC", "makespan", "ep_length", "runtime",
+               "avg_agents_density")
+
+
+@dataclass(frozen=True)
+class EpisodeSpec:
+    map_name: str
+    num_agents: int
+    seed: int
+    max_episode_steps: int = 128
+    on_target: str = "nothing"
+
+
+def expand_grid_search(env_cfg: dict) -> list[EpisodeSpec]:
+    """Expand `{key: {grid_search: [...]}}` into the cartesian product
+    (the pogema-toolbox semantics)."""
+    keys, choices = [], []
+    scalars: dict[str, Any] = {}
+    for k, v in env_cfg.items():
+        if isinstance(v, dict) and "grid_search" in v:
+            keys.append(k)
+            choices.append(v["grid_search"])
+        else:
+            scalars[k] = v
+    specs = []
+    for combo in itertools.product(*choices) if keys else [()]:
+        cfg = dict(scalars)
+        cfg.update(dict(zip(keys, combo)))
+        specs.append(EpisodeSpec(
+            map_name=str(cfg.get("map_name", "")),
+            num_agents=int(cfg.get("num_agents", 1)),
+            seed=int(cfg.get("seed", 0)),
+            max_episode_steps=int(cfg.get("max_episode_steps", 128)),
+            on_target=str(cfg.get("on_target", "nothing")),
+        ))
+    return specs
+
+
+def _tier(n: int, step: int = 32) -> int:
+    return -(-n // step) * step
+
+
+@dataclass
+class EvalResult:
+    rows: list[dict] = field(default_factory=list)
+
+    def save_json(self, path: str, algorithm: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump([{"algorithm": algorithm, **r} for r in self.rows],
+                      f, indent=1)
+
+
+class Evaluator:
+    """Runs episode specs against a policy with shape-tier batching."""
+
+    def __init__(self, registry: MapRegistry, model_cfg, params,
+                 batch_envs: int = 128, do_sample: bool = True,
+                 sample_seed: int = 0, mesh=None):
+        self.registry = registry
+        self.model_cfg = model_cfg
+        self.params = params
+        self.batch_envs = batch_envs
+        self.do_sample = do_sample
+        self.sample_seed = sample_seed
+        self.mesh = mesh
+        self._runners: dict = {}
+
+    # -- internal ---------------------------------------------------------
+    def _group_key(self, spec: EpisodeSpec):
+        grid = self.registry[spec.map_name]
+        h, w = pad_grid(grid).shape
+        return (_tier(h), _tier(w), _tier(spec.num_agents, 8),
+                spec.max_episode_steps, spec.on_target)
+
+    def _build_instance(self, spec: EpisodeSpec, hw: tuple[int, int],
+                        slots: int):
+        inst = sample_instance(self.registry[spec.map_name], spec.num_agents,
+                               spec.seed, map_name=spec.map_name)
+        h, w = inst.grid.shape
+        th, tw = hw
+        grid = np.pad(inst.grid, ((0, th - h), (0, tw - w)),
+                      constant_values=True)
+        starts = np.zeros((slots, 2), dtype=np.int32)
+        goals = np.zeros((slots, 2), dtype=np.int32)
+        a = inst.num_agents
+        starts[:a], goals[:a] = inst.starts, inst.goals
+        if slots > a:  # park padding slots on distinct free cells, goal=start
+            free = np.argwhere(~grid)
+            used = {tuple(x) for x in inst.starts}
+            extras = [c for c in map(tuple, free) if c not in used]
+            for k in range(slots - a):
+                starts[a + k] = goals[a + k] = extras[k]
+        active = np.zeros((slots,), dtype=bool)
+        active[:a] = True
+        return grid, starts, goals, active
+
+    def _runner(self, spec_key, slots):
+        from mapf_gpt_tpu.envs.env import MapfEnvSpec
+        from mapf_gpt_tpu.parallel.rollout import make_batch_rollout
+
+        th, tw, _, max_steps, on_target = spec_key
+        if spec_key not in self._runners:
+            env_spec = MapfEnvSpec(height=th, width=tw, num_agents=slots,
+                                   max_episode_steps=max_steps,
+                                   on_target=on_target)
+            run = make_batch_rollout(env_spec, self.model_cfg,
+                                     do_sample=self.do_sample)
+            self._runners[spec_key] = (env_spec, run)
+        return self._runners[spec_key]
+
+    # -- public -----------------------------------------------------------
+    def run(self, specs: list[EpisodeSpec], progress=lambda *_: None
+            ) -> EvalResult:
+        import jax
+        import jax.numpy as jnp
+
+        from mapf_gpt_tpu.parallel.rollout import batch_reset
+
+        result = EvalResult()
+        groups: dict = {}
+        for spec in specs:
+            groups.setdefault(self._group_key(spec), []).append(spec)
+
+        done = 0
+        for key, group in groups.items():
+            th, tw, slots, _, _ = key
+            env_spec, run = self._runner(key, slots)
+            for lo in range(0, len(group), self.batch_envs):
+                chunk = group[lo:lo + self.batch_envs]
+                n_real = len(chunk)
+                padded = chunk + [chunk[-1]] * (self.batch_envs - n_real) \
+                    if n_real < self.batch_envs else chunk
+                built = [self._build_instance(s, (th, tw), slots)
+                         for s in padded]
+                grids = jnp.asarray(np.stack([b[0] for b in built]))
+                starts = jnp.asarray(np.stack([b[1] for b in built]))
+                goals = jnp.asarray(
+                    np.stack([b[2] for b in built]))[:, :, None, :]
+                actives = jnp.asarray(np.stack([b[3] for b in built]))
+                t0 = time.perf_counter()
+                states = batch_reset(env_spec, grids, starts, goals, actives)
+                key_rng = jax.random.fold_in(
+                    jax.random.PRNGKey(self.sample_seed), done)
+                final, metrics = run(self.params, states, key_rng)
+                jax.block_until_ready(metrics)
+                runtime = (time.perf_counter() - t0) / n_real
+                m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
+                for i, spec in enumerate(chunk):
+                    result.rows.append({
+                        "map_name": spec.map_name,
+                        "num_agents": spec.num_agents,
+                        "seed": spec.seed,
+                        "CSR": float(m["csr"][i]),
+                        "ISR": float(m["isr"][i]),
+                        "SoC": float(m["soc"][i]),
+                        "makespan": float(m["makespan"][i]),
+                        "ep_length": float(m["ep_length"][i]),
+                        "runtime": runtime,
+                        "avg_agents_density": float(m["agents_density"][i]),
+                    })
+                done += n_real
+                progress(done, len(specs))
+        return result
+
+
+# -- views ---------------------------------------------------------------
+
+def tabular_view(rows: list[dict], drop_keys: list[str],
+                 group_keys: tuple = ("map_name", "num_agents", "seed")
+                 ) -> str:
+    """Aggregate + format like pogema-toolbox's TabularView."""
+    keep = [k for k in group_keys if k not in drop_keys]
+    metrics = [m for m in METRIC_KEYS if m not in drop_keys]
+    buckets: dict = {}
+    for r in rows:
+        k = tuple(r[g] for g in keep)
+        buckets.setdefault(k, []).append(r)
+    header = keep + metrics
+    lines = ["  ".join(f"{h:>12}" for h in header)]
+    for k in sorted(buckets):
+        vals = buckets[k]
+        cells = [f"{v:>12}" for v in k]
+        for mname in metrics:
+            cells.append(f"{np.mean([v[mname] for v in vals]):>12.4f}")
+        lines.append("  ".join(cells))
+    return "\n".join(lines)
+
+
+def plot_view(rows: list[dict], x: str, y: str, out_path: str,
+              ticks=None, **style) -> str | None:
+    """Matplotlib plot spec equivalent (optional dependency)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    xs = sorted({r[x] for r in rows})
+    ys = [np.mean([r[y] for r in rows if r[x] == v]) for v in xs]
+    fig, ax = plt.subplots(figsize=(style.get("width", 3.0),
+                                    style.get("height", 2.5)))
+    ax.plot(xs, ys, lw=style.get("line_width", 2))
+    if style.get("use_log_scale_x"):
+        ax.set_xscale("log")
+        ax.set_xticks(ticks or xs)
+        ax.get_xaxis().set_major_formatter(
+            __import__("matplotlib.ticker", fromlist=["ScalarFormatter"])
+            .ScalarFormatter())
+    ax.set_xlabel(x)
+    ax.set_ylabel(y)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
