@@ -104,3 +104,31 @@ def batch_reset(spec: menv.MapfEnvSpec, grids, starts, goals_queues, actives):
     """vmapped reset over stacked instance arrays."""
     return jax.jit(jax.vmap(partial(menv.reset, spec)))(
         grids, starts, goals_queues, actives)
+
+
+def make_recorded_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
+                          do_sample: bool = True) -> Callable:
+    """Single-instance episode runner that also records the trajectory.
+
+    Returns run(params, state, key) -> (final_state, metrics,
+    positions [T+1, A, 2]) for animation export (eval/animation.py) and
+    trajectory-parity tests.
+    """
+    model = GPT(cfg)
+
+    @jax.jit
+    def run(params, state, key):
+        def step_once(carry, _):
+            st, k = carry
+            logits = model.apply(params, _tokens_of(st))
+            k, sub = jax.random.split(k)
+            actions = act(logits, sub, do_sample=do_sample)
+            st2 = menv.step(spec, st, actions.astype(jnp.int32))
+            return (st2, k), st2.pos
+
+        (final, _), traj = jax.lax.scan(step_once, (state, key), None,
+                                        length=spec.max_episode_steps)
+        positions = jnp.concatenate([state.pos[None], traj], axis=0)
+        return final, episode_metrics(final), positions
+
+    return run

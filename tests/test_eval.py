@@ -1,0 +1,69 @@
+import numpy as np
+
+from mapf_gpt_tpu.eval.animation import render_episode_svg
+from mapf_gpt_tpu.eval.harness import (
+    EpisodeSpec, Evaluator, expand_grid_search, tabular_view)
+from mapf_gpt_tpu.maps import MapRegistry, random_grid
+
+
+def test_expand_grid_search_product():
+    cfg = {
+        "max_episode_steps": 64,
+        "num_agents": {"grid_search": [2, 4]},
+        "seed": {"grid_search": [0, 1, 2]},
+        "map_name": {"grid_search": ["a", "b"]},
+    }
+    specs = expand_grid_search(cfg)
+    assert len(specs) == 12
+    assert all(s.max_episode_steps == 64 for s in specs)
+    assert {(s.map_name, s.num_agents, s.seed) for s in specs} == {
+        (m, a, s) for a in (2, 4) for s in (0, 1, 2) for m in ("a", "b")}
+
+
+def test_expand_scalar_only():
+    specs = expand_grid_search({"map_name": "x", "num_agents": 3, "seed": 7})
+    assert specs == [EpisodeSpec(map_name="x", num_agents=3, seed=7)]
+
+
+def test_tabular_view_grouping():
+    rows = [
+        {"map_name": "m", "num_agents": 2, "seed": 0, "CSR": 1.0, "ISR": 1.0,
+         "SoC": 4.0, "makespan": 2.0, "ep_length": 2.0, "runtime": 0.1,
+         "avg_agents_density": 0.1},
+        {"map_name": "m", "num_agents": 2, "seed": 1, "CSR": 0.0, "ISR": 0.5,
+         "SoC": 8.0, "makespan": 4.0, "ep_length": 4.0, "runtime": 0.1,
+         "avg_agents_density": 0.1},
+    ]
+    out = tabular_view(rows, drop_keys=["seed", "map_name"])
+    assert "0.5000" in out            # mean CSR
+    lines = out.splitlines()
+    assert len(lines) == 2            # header + one group row
+
+
+def test_evaluator_small_run():
+    import jax
+
+    from mapf_gpt_tpu.models.gpt import GPTConfig, init_params
+
+    reg = MapRegistry()
+    reg.register("tiny", random_grid(8, 0.1, 0))
+    cfg = GPTConfig(n_layer=1, n_head=1, n_embd=16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    specs = [EpisodeSpec("tiny", 2, s, max_episode_steps=8) for s in range(3)]
+    ev = Evaluator(reg, cfg, params, batch_envs=2, do_sample=False)
+    res = ev.run(specs)
+    assert len(res.rows) == 3
+    for r in res.rows:
+        assert 0.0 <= r["CSR"] <= 1.0
+        assert r["ep_length"] <= 8
+
+
+def test_svg_render():
+    grid = np.zeros((6, 6), dtype=bool)
+    grid[0] = True
+    positions = np.asarray([[[2, 2], [3, 3]], [[2, 3], [3, 4]]])
+    goals = np.asarray([[2, 5], [3, 5]])
+    svg = render_episode_svg(grid, positions, goals)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count("<animate") == 4  # 2 agents x (cx, cy)
+    assert "#84a58c" in svg            # obstacles drawn
