@@ -44,6 +44,7 @@ class GPTConfig:
     dropout: float = 0.0
     bias: bool = False
     dtype: jnp.dtype = jnp.bfloat16   # activation/compute dtype
+    attn_impl: str = "auto"           # "auto" | "einsum" | "pallas" (ops/attention.py)
 
 
 CONFIGS = {
@@ -68,18 +69,23 @@ class SelfAttention(nn.Module):
         qkv = nn.Dense(3 * cfg.n_embd, use_bias=cfg.bias, dtype=cfg.dtype,
                        kernel_init=DENSE_INIT, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, t, nh, hd)
-        k = k.reshape(b, t, nh, hd)
-        v = v.reshape(b, t, nh, hd)
-        # fp32 logits/softmax for numerical parity with the reference
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                         preferred_element_type=jnp.float32)
-        att = att * (1.0 / jnp.sqrt(jnp.float32(hd)))
-        att = jax.nn.softmax(att, axis=-1)
+        q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)  # [B, H, T, D]
+        k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        scale = 1.0 / float(jnp.sqrt(jnp.float32(hd)))
         if cfg.dropout > 0.0 and not deterministic:
+            # training-with-dropout keeps the reference einsum path so the
+            # score tensor is available to drop
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                             preferred_element_type=jnp.float32) * scale
+            att = jax.nn.softmax(att, axis=-1)
             att = nn.Dropout(cfg.dropout)(att, deterministic=False)
-        y = jnp.einsum("bhqk,bkhd->bqhd", att.astype(cfg.dtype), v)
-        y = y.reshape(b, t, c)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att.astype(cfg.dtype), v)
+        else:
+            from mapf_gpt_tpu.ops.attention import attention
+
+            y = attention(q, k, v, scale, impl=cfg.attn_impl)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
         y = nn.Dense(cfg.n_embd, use_bias=cfg.bias, dtype=cfg.dtype,
                      kernel_init=DENSE_INIT, name="c_proj")(y)
         if cfg.dropout > 0.0 and not deterministic:
