@@ -179,3 +179,48 @@ def generate_shards(out_dir: str, total_samples: int, cfg: GenConfig,
                   total_samples - collected))
     return {"episodes": episodes, "solved": solved, "samples": collected,
             "shards": shard_idx}
+
+
+def main(argv=None):
+    """CLI: python -m mapf_gpt_tpu.dataset.generate --out dataset/train \
+       --samples 1000000 --seed 1 [--num-agents 8 --map-size 17]
+
+    The reference drives generation through pogema-toolbox + mp.Pool
+    (ref:dataset/generate_dataset.py:258-278); here each process is an
+    independent shard producer (run several with distinct --seed; shard
+    filenames embed the seed so outputs never collide)."""
+    import argparse
+    import time
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--samples", type=int, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-agents", type=int, default=8)
+    p.add_argument("--map-size", type=int, default=17)
+    p.add_argument("--maze-fraction", type=float, default=0.9)
+    p.add_argument("--samples-per-shard", type=int, default=2 ** 17)
+    p.add_argument("--expert-budget", type=float, nargs="*",
+                   default=[1.0, 5.0])
+    args = p.parse_args(argv)
+    cfg = GenConfig(num_agents=args.num_agents, map_size=args.map_size,
+                    maze_fraction=args.maze_fraction, seed=args.seed,
+                    samples_per_shard=args.samples_per_shard,
+                    expert_time_limits=tuple(args.expert_budget))
+    t0 = time.time()
+    last = [t0]
+
+    def progress(done, total):
+        now = time.time()
+        if now - last[0] > 30:
+            last[0] = now
+            rate = done / max(now - t0, 1e-9)
+            print(f"{done}/{total} samples ({rate:.0f}/s)", flush=True)
+
+    stats = generate_shards(args.out, args.samples, cfg, progress=progress)
+    stats["wall_s"] = time.time() - t0
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ Model family (ref:experiment_setup/config-{2M,6M,85M}.py):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import flax.linen as nn
@@ -72,7 +73,7 @@ class SelfAttention(nn.Module):
         q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)  # [B, H, T, D]
         k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-        scale = 1.0 / float(jnp.sqrt(jnp.float32(hd)))
+        scale = 1.0 / math.sqrt(hd)
         if cfg.dropout > 0.0 and not deterministic:
             # training-with-dropout keeps the reference einsum path so the
             # score tensor is available to drop

@@ -34,48 +34,50 @@ def attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bhqk,bhkd->bhqd", att.astype(q.dtype), v)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[:]  # [G, T, D]
-    k = k_ref[:]
-    v = v_ref[:]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale       # [G, T, T] in VMEM
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
-    o_ref[:] = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, group: int):
+    # per-pair unrolled 2D dots (K arrives pre-transposed [G, D, T]; Mosaic
+    # pipelines the unrolled small matmuls better than a batched dot_general)
+    for i in range(group):
+        s = jax.lax.dot_general(
+            q_ref[i], kt_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [T, T] in VMEM
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
+        o_ref[i] = jax.lax.dot_general(
+            p, v_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     scale: float, group: int = 8) -> jnp.ndarray:
+                     scale: float, group: int = 16) -> jnp.ndarray:
     """q,k,v: [B, H, T, D] (bf16 recommended). Returns [B, H, T, D]."""
     b, h, t, d = q.shape
     bh = b * h
     g = min(group, bh)
     qf = q.reshape(bh, t, d)
-    kf = k.reshape(bh, t, d)
+    ktf = k.reshape(bh, t, d).swapaxes(1, 2)   # [BH, D, T]
     vf = v.reshape(bh, t, d)
     pad = (-bh) % g
     if pad:
         qf = jnp.pad(qf, ((0, pad), (0, 0), (0, 0)))
-        kf = jnp.pad(kf, ((0, pad), (0, 0), (0, 0)))
+        ktf = jnp.pad(ktf, ((0, pad), (0, 0), (0, 0)))
         vf = jnp.pad(vf, ((0, pad), (0, 0), (0, 0)))
     n = qf.shape[0]
     spec = pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    spec_kt = pl.BlockSpec((g, d, t), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, group=g),
         grid=(n // g,),
-        in_specs=[spec, spec, spec],
+        in_specs=[spec, spec_kt, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((n, t, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * t * t * d, transcendentals=n * t * t,
             bytes_accessed=4 * n * t * d * q.dtype.itemsize),
-    )(qf, kf, vf)
+    )(qf, ktf, vf)
     if pad:
         out = out[:bh]
     return out.reshape(b, h, t, d)
@@ -83,13 +85,16 @@ def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
               impl: str = "auto") -> jnp.ndarray:
-    """Dispatch: pallas kernel on TPU, einsum elsewhere."""
-    if impl == "einsum":
-        return attention_einsum(q, k, v, scale)
+    """Dispatch between implementations.
+
+    Measured on TPU v5e at [1024, 5, 256, 32] (the 2M rollout shape): the
+    kernel runs the attention core in 3.9 ms vs 4.3 ms for XLA's fusions, but
+    end-to-end the model forward is unchanged (47.7 vs 48.8 ms / 50 steps) —
+    this attention is *softmax-exp bound* (~340M transcendentals per forward
+    saturate the VPU), not score-memory bound, so VMEM residency buys little.
+    ``auto`` therefore keeps the einsum path; the kernel stays available as
+    the substrate for a future fully fused block kernel.
+    """
     if impl == "pallas":
-        return attention_pallas(q, k, v, scale)
-    on_tpu = any(d.platform == "tpu" or "TPU" in getattr(d, "device_kind", "")
-                 for d in jax.devices())
-    if on_tpu:
         return attention_pallas(q, k, v, scale)
     return attention_einsum(q, k, v, scale)

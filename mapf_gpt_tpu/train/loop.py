@@ -57,7 +57,15 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
-    return p.parse_args(argv)
+    p.add_argument("--config", default=None,
+                   help="python config file exec'd over the parsed args "
+                        "(the reference configurator semantics)")
+    args, extra = p.parse_known_args(argv)
+    from mapf_gpt_tpu.utils.configurator import apply_config
+
+    apply_config(args, config_file=args.config,
+                 overrides=[e for e in extra if e.startswith("--")])
+    return args
 
 
 def train(args) -> dict:
