@@ -71,9 +71,9 @@ def measure_tpu(insts) -> float:
     cfg = CONFIGS["2M"]
     params = init_params(cfg, jax.random.PRNGKey(0))
     states = batch_reset(spec, grids, starts, goals, actives)
-    # chunk the policy forward (the reference's batch_size=2048 analogue,
+    # chunk the policy forward (the reference's batch_size analogue (1024 keeps the fp32 score tensor ~1.3 GB),
     # ref:mapf_gpt/inference.py:87-101): bounds attention-score memory
-    run = make_batch_rollout(spec, cfg, do_sample=True, policy_batch=2048)
+    run = make_batch_rollout(spec, cfg, do_sample=True, policy_batch=1024)
 
     # warmup/compile
     final, metrics = run(params, states, jax.random.PRNGKey(0))

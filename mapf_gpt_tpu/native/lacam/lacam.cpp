@@ -323,8 +323,15 @@ struct Searcher {
     open.push_back(init);
 
     int iter = 0;
+    // once a goal config is known, cap the anytime search at 60% of the
+    // budget so LNS refinement gets the remainder
+    const double search_cap = opt.refine_iters > 0 ? 0.6 : 1.0;
     while (!open.empty()) {
-      if ((++iter & 0xFF) == 0 && deadline.over()) break;
+      if ((++iter & 0xFF) == 0 &&
+          (deadline.over() ||
+           (h_goal != nullptr &&
+            deadline.elapsed_s() >= search_cap * deadline.limit_s)))
+        break;
       HNode* n = open.back();
 
       if (h_goal != nullptr && n->g >= h_goal->g) {  // pruned branch
@@ -346,7 +353,28 @@ struct Searcher {
       expand_lowlevel(n, l);
 
       Config q_new;
-      if (!gen_config(n, l, q_new)) continue;
+      if (l.depth == 0 && opt.pibt_ensemble > 1) {
+        // Monte-Carlo config generation: several PIBT rollouts, keep the
+        // best f = g + edge_cost + h (the reference's PIBT ensemble,
+        // ref:lacam3/src/planner.cpp:208-248, sequential here)
+        bool found = false;
+        long best_f = 0;
+        Config cand;
+        for (int e = 0; e < opt.pibt_ensemble; e++) {
+          if (!gen_config(n, l, cand)) continue;
+          int hh = heuristic(cand);
+          if (hh < 0) continue;
+          long f = (long)n->g + edge_cost(n->Q, cand) + hh;
+          if (!found || f < best_f) {
+            best_f = f;
+            q_new = cand;
+            found = true;
+          }
+        }
+        if (!found) continue;
+      } else if (!gen_config(n, l, q_new)) {
+        continue;
+      }
 
       auto it = explored.find(q_new);
       if (it == explored.end()) {
@@ -373,6 +401,9 @@ struct Searcher {
     for (HNode* n = h_goal; n != nullptr; n = n->parent) rev.push_back(n->Q);
     sol.configs.assign(rev.rbegin(), rev.rend());
     sol.solved = true;
+    if (opt.refine_iters > 0)
+      sol = refine(grid, starts, goals, dist, std::move(sol),
+                   opt.refine_iters, opt.seed + 1, deadline);
     return sol;
   }
 };
@@ -383,6 +414,97 @@ Solution solve(const Grid& grid, const Config& starts, const Config& goals,
                const Options& opt) {
   Searcher s(grid, starts, goals, opt);
   return s.run();
+}
+
+Solution refine(const Grid& grid, const Config& starts, const Config& goals,
+                const DistTables& dist, Solution sol, int iters, int seed,
+                const Deadline& deadline) {
+  // Single-agent large-neighborhood search: re-plan one agent at a time with
+  // a 0-1-cost time-expanded Dijkstra against the others' frozen paths
+  // (vertex + swap conflicts), accepting strict sum-of-loss improvements.
+  // The reference refines random groups of up to 30 agents with SIPP under a
+  // collision table (ref:lacam3/src/refiner.cpp, src/sipp.cpp); single-agent
+  // moves are that scheme's group-size-1 case and already capture most of
+  // the post-hoc slack in PIBT solutions.
+  if (!sol.solved || sol.configs.size() < 2) return sol;
+  (void)dist;
+  const int A = (int)starts.size();
+  const int T = (int)sol.configs.size() - 1;
+  const int V = grid.size();
+  std::vector<int> occ((size_t)(T + 1) * V, -1);
+  std::vector<std::vector<int>> paths(A, std::vector<int>(T + 1));
+  for (int t = 0; t <= T; t++)
+    for (int a = 0; a < A; a++) {
+      paths[a][t] = sol.configs[t][a];
+      occ[(size_t)t * V + paths[a][t]] = a;
+    }
+  auto loss_of = [&](const std::vector<int>& p, int goal) {
+    int l = 0;
+    for (int t = 1; t <= T; t++)
+      if (p[t] != goal || p[t - 1] != goal) l++;
+    return l;
+  };
+  std::mt19937 rng(seed);
+  const int INF = 1 << 29;
+  std::vector<int> cost((size_t)(T + 1) * V);
+  std::vector<int> parent((size_t)(T + 1) * V);
+  for (int it = 0; it < iters; it++) {
+    if ((it & 7) == 0 && deadline.over()) break;
+    int a = (int)(rng() % A);
+    int goal = goals[a];
+    int old_loss = loss_of(paths[a], goal);
+    if (old_loss == 0) continue;
+    for (int t = 0; t <= T; t++) occ[(size_t)t * V + paths[a][t]] = -1;
+    std::fill(cost.begin(), cost.end(), INF);
+    std::fill(parent.begin(), parent.end(), -1);
+    std::deque<size_t> dq;
+    size_t s0 = (size_t)0 * V + starts[a];
+    cost[s0] = 0;
+    dq.push_back(s0);
+    while (!dq.empty()) {
+      size_t cur = dq.front();
+      dq.pop_front();
+      int t = (int)(cur / V), v = (int)(cur % V);
+      if (t == T) continue;
+      int moves[5];
+      int n_m = 0;
+      moves[n_m++] = v;
+      for (int d = 0; d < 4; d++)
+        if (grid.nbr[d][v] >= 0) moves[n_m++] = grid.nbr[d][v];
+      for (int m = 0; m < n_m; m++) {
+        int u = moves[m];
+        size_t nxt = (size_t)(t + 1) * V + u;
+        if (occ[nxt] >= 0) continue;                       // vertex conflict
+        int b = occ[(size_t)t * V + u];
+        if (b >= 0 && occ[(size_t)(t + 1) * V + v] == b) continue;  // swap
+        int c = (u == goal && v == goal) ? 0 : 1;
+        if (cost[cur] + c < cost[nxt]) {
+          cost[nxt] = cost[cur] + c;
+          parent[nxt] = (int)cur;
+          if (c == 0) dq.push_front(nxt);
+          else dq.push_back(nxt);
+        }
+      }
+    }
+    size_t goal_state = (size_t)T * V + goal;
+    if (cost[goal_state] < old_loss) {
+      std::vector<int> np(T + 1);
+      size_t cur = goal_state;
+      for (int t = T; t >= 0; t--) {
+        np[t] = (int)(cur % V);
+        if (t > 0) cur = (size_t)parent[cur];
+      }
+      paths[a] = np;
+    }
+    for (int t = 0; t <= T; t++) occ[(size_t)t * V + paths[a][t]] = a;
+  }
+  for (int t = 0; t <= T; t++)
+    for (int a = 0; a < A; a++) sol.configs[t][a] = paths[a][t];
+  // trim trailing all-on-goal configs (makespan may shrink)
+  while (sol.configs.size() > 1 &&
+         sol.configs[sol.configs.size() - 2] == goals)
+    sol.configs.pop_back();
+  return sol;
 }
 
 bool is_feasible(const Grid& grid, const Config& starts, const Config& goals,

@@ -71,11 +71,25 @@ struct Options {
   double time_limit_s = 1.0;
   int seed = 0;
   bool anytime = true;       // keep improving after first solution (LaCAM*)
+  int pibt_ensemble = 4;     // Monte-Carlo configs per unconstrained expansion
+                             // (the reference runs a 10-thread PIBT ensemble,
+                             // ref:lacam3/src/planner.cpp:208-248; here the
+                             // candidates run sequentially)
+  int refine_iters = 2000;    // LNS+SIPP refinement attempts after a solution
+                             // (0 disables; ref:lacam3/src/refiner.cpp)
   int verbosity = 0;
 };
 
 Solution solve(const Grid& grid, const Config& starts, const Config& goals,
                const Options& opt);
+
+// Large-neighborhood-search refinement: repeatedly re-plan single agents with
+// SIPP against the others' frozen paths, accepting sum-of-loss improvements
+// (the reference's async refiner pool, ref:lacam3/src/refiner.cpp:3-69 +
+// src/sipp.cpp). Returns the (possibly improved) solution.
+Solution refine(const Grid& grid, const Config& starts, const Config& goals,
+                const DistTables& dist, Solution sol, int iters, int seed,
+                const Deadline& deadline);
 
 // Feasibility validation: starts/goals match, moves are edges, no vertex or
 // swap conflicts (the reference validates every solution,
