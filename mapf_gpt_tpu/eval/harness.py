@@ -105,7 +105,8 @@ class Evaluator:
     def _build_instance(self, spec: EpisodeSpec, hw: tuple[int, int],
                         slots: int):
         inst = sample_instance(self.registry[spec.map_name], spec.num_agents,
-                               spec.seed, map_name=spec.map_name)
+                               spec.seed, map_name=spec.map_name,
+                               masks=self.registry.masks(spec.map_name))
         h, w = inst.grid.shape
         th, tw = hw
         grid = np.pad(inst.grid, ((0, th - h), (0, tw - w)),

@@ -26,23 +26,50 @@ import numpy as np
 from mapf_gpt_tpu.ops.vocab import C2G_RADIUS
 
 
-def parse_ascii_map(text: str) -> np.ndarray:
-    """Parse a ``.``/``#`` ASCII grid into a bool [H, W] obstacle array."""
-    rows = []
+def parse_ascii_map_ex(text: str, movingai: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse an ASCII grid -> (obstacles, start_allowed, goal_allowed).
+
+    Symbols: ``.`` free; ``#`` obstacle (plus ``@``/``T`` blocked terrain in
+    MovingAI files).  Warehouse maps (wfi_warehouse,
+    ref:eval_configs/03-warehouse/maps.yaml) use placement-restricted free
+    cells: ``@`` spawn-only (starts), ``$`` pick-only (goals), ``!``
+    walkway (neither).  pogema's exact symbol semantics are not published in
+    the reference; this interpretation keeps all three traversable and
+    restricts sampling masks.
+    """
+    rows, srows, grows = [], [], []
     for line in text.split():
-        row = []
+        row, srow, grow = [], [], []
         for ch in line:
             if ch == ".":
-                row.append(False)
-            elif ch in "#@T":  # MovingAI uses @ and T for blocked terrain
-                row.append(True)
+                ob, st, gl = False, True, True
+            elif ch == "#" or (movingai and ch in "@T"):
+                ob, st, gl = True, False, False
+            elif ch == "@":
+                ob, st, gl = False, True, False
+            elif ch == "$":
+                ob, st, gl = False, False, True
+            elif ch == "!":
+                ob, st, gl = False, False, False
             else:
                 raise ValueError(f"unsupported map symbol {ch!r}")
+            row.append(ob)
+            srow.append(st)
+            grow.append(gl)
         if row:
             if rows and len(rows[-1]) != len(row):
                 raise ValueError("ragged map rows")
             rows.append(row)
-    return np.array(rows, dtype=bool)
+            srows.append(srow)
+            grows.append(grow)
+    return (np.array(rows, dtype=bool), np.array(srows, dtype=bool),
+            np.array(grows, dtype=bool))
+
+
+def parse_ascii_map(text: str) -> np.ndarray:
+    """Obstacle grid only (placement-restricted cells count as free)."""
+    return parse_ascii_map_ex(text)[0]
 
 
 def parse_movingai_map(text: str) -> np.ndarray:
@@ -50,7 +77,7 @@ def parse_movingai_map(text: str) -> np.ndarray:
     lines = text.splitlines()
     idx = next(i for i, ln in enumerate(lines) if ln.strip() == "map")
     grid_lines = [ln for ln in lines[idx + 1:] if ln.strip()]
-    return parse_ascii_map("\n".join(grid_lines))
+    return parse_ascii_map_ex("\n".join(grid_lines), movingai=True)[0]
 
 
 def grid_to_str(grid: np.ndarray) -> str:
@@ -71,10 +98,14 @@ class MapRegistry:
 
     def __init__(self) -> None:
         self._maps: dict[str, np.ndarray] = {}
+        self._masks: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def register(self, name: str, grid: np.ndarray | str) -> None:
         if isinstance(grid, str):
-            grid = parse_ascii_map(grid)
+            grid, smask, gmask = parse_ascii_map_ex(grid)
+            free = ~grid
+            if (free & ~smask).any() or (free & ~gmask).any():
+                self._masks[name] = (smask, gmask)
         self._maps[name] = np.asarray(grid, dtype=bool)
 
     def load_yaml(self, path: str) -> None:
@@ -93,6 +124,10 @@ class MapRegistry:
 
     def __contains__(self, name: str) -> bool:
         return name in self._maps
+
+    def masks(self, name: str):
+        """(start_allowed, goal_allowed) bool masks, or None if unrestricted."""
+        return self._masks.get(name)
 
     def names(self) -> list[str]:
         return sorted(self._maps)
@@ -213,28 +248,40 @@ def sample_instance(
     map_name: str = "",
     pad: bool = True,
     num_lifelong_goals: int = 0,
+    masks: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> Instance:
     """Sample unique start cells and unique goal cells on free cells, with each
     agent's start and goal in the same connected component (solvability, as
-    pogema guarantees).  Our own seeding scheme (numpy RandomState(seed));
-    pogema's RNG stream is not reproduced.
+    pogema guarantees).  `masks` = optional (start_allowed, goal_allowed)
+    placement restrictions (warehouse maps).  Our own seeding scheme (numpy
+    RandomState(seed)); pogema's RNG stream is not reproduced.
     """
+    if masks is not None:
+        smask, gmask = masks
+    else:
+        smask = gmask = np.ones_like(grid, dtype=bool)
     if pad:
         grid = pad_grid(grid)
+        smask = np.pad(smask, C2G_RADIUS, constant_values=False)
+        gmask = np.pad(gmask, C2G_RADIUS, constant_values=False)
     rng = np.random.RandomState(seed)
     comp = _components(grid)
     free = np.argwhere(~grid)
-    if len(free) < num_agents:
-        raise ValueError("not enough free cells")
-    order = rng.permutation(len(free))
-    starts = free[order[:num_agents]].astype(np.int32)
+    start_cand = np.argwhere(~grid & smask)
+    if len(start_cand) < num_agents:
+        raise ValueError("not enough start cells")
+    order = rng.permutation(len(start_cand))
+    starts = start_cand[order[:num_agents]].astype(np.int32)
 
-    # goals: per component, permute that component's remaining free cells
+    # goals: per component, permute that component's allowed cells
     goals = np.zeros_like(starts)
     used = set()
     for a in range(num_agents):
         c = comp[starts[a, 0], starts[a, 1]]
-        cells = free[comp[free[:, 0], free[:, 1]] == c]
+        cand = np.argwhere(~grid & gmask)
+        cells = cand[comp[cand[:, 0], cand[:, 1]] == c]
+        if len(cells) == 0:
+            raise ValueError("no goal cells reachable from start")
         perm = rng.permutation(len(cells))
         for k in perm:
             cell = (int(cells[k, 0]), int(cells[k, 1]))
