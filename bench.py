@@ -71,19 +71,26 @@ def measure_tpu(insts) -> float:
     cfg = CONFIGS["2M"]
     params = init_params(cfg, jax.random.PRNGKey(0))
     states = batch_reset(spec, grids, starts, goals, actives)
-    # chunk the policy forward (the reference's batch_size analogue (1024 keeps the fp32 score tensor ~1.3 GB),
-    # ref:mapf_gpt/inference.py:87-101): bounds attention-score memory
-    run = make_batch_rollout(spec, cfg, do_sample=True, policy_batch=1024)
+    # no policy chunking: the fused megakernel (ops/fused_gpt.py) tiles the
+    # batch itself with no large intermediates (the reference's batch_size
+    # chunking, ref:mapf_gpt/inference.py:87-101, guarded the score tensor)
+    run = make_batch_rollout(spec, cfg, do_sample=True)
+
+    def sync(tree):
+        # force full completion via a host fetch: on remote-tunneled
+        # platforms (axon) block_until_ready returns before execution
+        for leaf in jax.tree_util.tree_leaves(tree):
+            np.asarray(leaf)
 
     # warmup/compile
     final, metrics = run(params, states, jax.random.PRNGKey(0))
-    jax.block_until_ready(metrics)
+    sync(metrics)
 
     best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
         final, metrics = run(params, states, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(metrics)
+        sync(metrics)
         best = min(best, time.perf_counter() - t0)
     return B * STEPS / best
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from mapf_gpt_tpu.envs import env as menv
 from mapf_gpt_tpu.envs.metrics import EpisodeMetrics, episode_metrics
-from mapf_gpt_tpu.models.gpt import GPT, GPTConfig, act
+from mapf_gpt_tpu.models.gpt import GPTConfig, act, make_forward
 from mapf_gpt_tpu.ops.obs import observe
 
 
@@ -67,15 +67,15 @@ def make_batch_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
     to bound memory for large models — the analogue of the reference's
     batch_size=2048 chunking, ref:inference.py:87-101).
     """
-    model = GPT(cfg)
+    forward = make_forward(cfg)
 
     def policy(params, tokens2d):
         if policy_batch is None or tokens2d.shape[0] <= policy_batch:
-            return model.apply(params, tokens2d)
+            return forward(params, tokens2d)
         n = tokens2d.shape[0]
         assert n % policy_batch == 0, (n, policy_batch)
         chunks = tokens2d.reshape(n // policy_batch, policy_batch, -1)
-        return jax.lax.map(lambda c: model.apply(params, c), chunks).reshape(
+        return jax.lax.map(lambda c: forward(params, c), chunks).reshape(
             n, -1)
 
     @jax.jit
@@ -114,13 +114,13 @@ def make_recorded_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
     positions [T+1, A, 2]) for animation export (eval/animation.py) and
     trajectory-parity tests.
     """
-    model = GPT(cfg)
+    forward = make_forward(cfg)
 
     @jax.jit
     def run(params, state, key):
         def step_once(carry, _):
             st, k = carry
-            logits = model.apply(params, _tokens_of(st))
+            logits = forward(params, _tokens_of(st))
             k, sub = jax.random.split(k)
             actions = act(logits, sub, do_sample=do_sample)
             st2 = menv.step(spec, st, actions.astype(jnp.int32))
