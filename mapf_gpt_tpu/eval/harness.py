@@ -173,9 +173,10 @@ class Evaluator:
                 key_rng = jax.random.fold_in(
                     jax.random.PRNGKey(self.sample_seed), done)
                 final, metrics = run(self.params, states, key_rng)
-                jax.block_until_ready(metrics)
-                runtime = (time.perf_counter() - t0) / n_real
+                # host fetch doubles as the sync barrier (block_until_ready
+                # returns before execution on remote-tunneled platforms)
                 m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
+                runtime = (time.perf_counter() - t0) / n_real
                 for i, spec in enumerate(chunk):
                     result.rows.append({
                         "map_name": spec.map_name,
