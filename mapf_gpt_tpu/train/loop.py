@@ -55,6 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--learning-rate", type=float, default=6e-4)
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--wandb-project", default=None,
+                   help="optional wandb logging (the reference's wandb_log "
+                        "flag, ref:train.py:40-43); no-op if wandb is not "
+                        "installed")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
     p.add_argument("--config", default=None,
@@ -117,6 +121,18 @@ def train(args) -> dict:
     meter = Meter(flops_per_step)
     history = []
 
+    wandb = None
+    if getattr(args, "wandb_project", None) and is_main:
+        try:
+            import wandb as _wandb
+
+            wandb = _wandb
+            wandb.init(project=args.wandb_project,
+                       config={"model": args.model, "batch": batch_size,
+                               "max_iters": max_iters, **tc._asdict()})
+        except ImportError:
+            print("wandb not installed; --wandb-project ignored")
+
     def run_eval():
         if valid_stream is None:
             return None
@@ -135,6 +151,9 @@ def train(args) -> dict:
             if is_main:
                 if ev:
                     print(f"iter {it}: val_loss {ev[0]:.4f} val_acc {ev[1]:.4f}")
+                    if wandb:
+                        wandb.log({"val/loss": ev[0], "val/acc": ev[1]},
+                                  step=it)
                 if it > start_iter:
                     ckpt.save_checkpoint(
                         args.out_dir, it, jax.device_get(state),
@@ -146,13 +165,16 @@ def train(args) -> dict:
         x = pmesh.shard_batch(mesh, x, axis=1)
         y = pmesh.shard_batch(mesh, y, axis=1)
         state, loss = step_fn(state, x, y)
-        sps, mfu = meter.tick()
         if it % args.log_interval == 0:
-            loss = float(loss)
+            loss = float(loss)  # host sync point
+            sps, mfu = meter.tick(steps=args.log_interval)
             history.append({"iter": it, "loss": loss})
             if is_main:
                 print(f"iter {it}: loss {loss:.4f} | {sps:.2f} it/s | "
                       f"mfu {mfu * 100:.1f}%")
+                if wandb:
+                    wandb.log({"train/loss": loss, "perf/steps_per_s": sps,
+                               "perf/mfu": mfu}, step=it)
     return {"iters": max_iters, "history": history,
             "wall_s": time.time() - t_start}
 

@@ -45,15 +45,18 @@ class Meter:
         self.smoothed = None
         self._t = None
 
-    def tick(self) -> tuple[float, float]:
-        """Call once per step; returns (steps_per_s, mfu), smoothed."""
+    def tick(self, steps: int = 1) -> tuple[float, float]:
+        """Call at host-sync points, passing the number of steps executed
+        since the previous call (on async-dispatch platforms, per-step wall
+        times are dispatch times, not execution times — only measure across
+        genuine synchronization).  Returns (steps_per_s, mfu), smoothed."""
         now = time.perf_counter()
         if self._t is None:
             self._t = now
             return 0.0, 0.0
         dt = now - self._t
         self._t = now
-        sps = 1.0 / max(dt, 1e-9)
+        sps = steps / max(dt, 1e-9)
         self.smoothed = sps if self.smoothed is None else (
             self.beta * self.smoothed + (1 - self.beta) * sps)
         mfu = self.smoothed * self.flops_per_step / chip_peak_flops()
