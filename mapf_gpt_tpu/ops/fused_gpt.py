@@ -151,10 +151,11 @@ def stack_block_weights(params: Any, cfg) -> dict:
 
 def default_ctx_per_program(cfg) -> int:
     """Contexts per program, sized against the ~16 MB scoped-VMEM stack
-    (measured on v5e: 2M/E=160 fits C=8, 6M/E=256 fits C=4, 85M/E=768
-    fits C=2)."""
+    (measured on v5e: 2M/E=160 fits C=8 standalone but overflows by ~0.2 MB
+    when the kernel sits inside a rollout while-loop body, so 6; 6M/E=256
+    fits C=4, 85M/E=768 fits C=2 with 3-layer chunking)."""
     if cfg.n_embd <= 192:
-        return 8
+        return 6
     if cfg.n_embd <= 384:
         return 4
     return 2
