@@ -156,11 +156,15 @@ class Evaluator:
         for key, group in groups.items():
             th, tw, slots, _, _ = key
             env_spec, run = self._runner(key, slots)
-            for lo in range(0, len(group), self.batch_envs):
-                chunk = group[lo:lo + self.batch_envs]
+            # cap total agent contexts per device batch: very large
+            # envs x agents products (e.g. 128 x 192) crash the TPU worker
+            # (observed on v5e at 24576 contexts; 12288 is stable)
+            batch_envs = max(1, min(self.batch_envs, 12288 // slots))
+            for lo in range(0, len(group), batch_envs):
+                chunk = group[lo:lo + batch_envs]
                 n_real = len(chunk)
-                padded = chunk + [chunk[-1]] * (self.batch_envs - n_real) \
-                    if n_real < self.batch_envs else chunk
+                padded = chunk + [chunk[-1]] * (batch_envs - n_real) \
+                    if n_real < batch_envs else chunk
                 built = [self._build_instance(s, (th, tw), slots)
                          for s in padded]
                 grids = jnp.asarray(np.stack([b[0] for b in built]))
