@@ -146,10 +146,12 @@ def random_grid(size: int, density: float, seed: int) -> np.ndarray:
     return rng.rand(size, size) < density
 
 
-def maze_grid(size: int, seed: int, wall_components: int = 8) -> np.ndarray:
+def maze_grid(size: int, seed: int, wall_components: int = 8,
+              obstacle_density: float = 0.36) -> np.ndarray:
     """Maze-like map: recursive-backtracker corridors on an odd lattice,
-    then knock out a few extra walls so the maze has loops (pogema-style
-    mazes are imperfect)."""
+    then knock out extra walls until the obstacle density matches pogema-style
+    imperfect mazes (the reference's training/eval maze maps measure ~0.31-0.40
+    obstacles, ref:dataset/dataset_configs/11-medium-mazes-eval/maps.yaml)."""
     rng = np.random.RandomState(seed)
     n = size if size % 2 == 1 else size + 1
     grid = np.ones((n, n), dtype=bool)
@@ -170,11 +172,14 @@ def maze_grid(size: int, seed: int, wall_components: int = 8) -> np.ndarray:
         grid[(i + ni) // 2, (j + nj) // 2] = False
         grid[ni, nj] = False
         stack.append((ni, nj))
-    # open extra passages to create loops
+    # open extra passages: loops + target obstacle density
     walls = np.argwhere(grid[1:-1, 1:-1]) + 1
+    target_obstacles = int(obstacle_density * grid.size)
+    extra = max(1, len(walls) // wall_components,
+                int(grid.sum()) - target_obstacles)
     if len(walls):
-        extra = max(1, len(walls) // wall_components)
-        for k in rng.choice(len(walls), size=min(extra, len(walls)), replace=False):
+        for k in rng.choice(len(walls), size=min(extra, len(walls)),
+                            replace=False):
             grid[tuple(walls[k])] = False
     return grid[:size, :size]
 
