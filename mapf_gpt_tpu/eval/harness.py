@@ -85,7 +85,9 @@ class Evaluator:
 
     def __init__(self, registry: MapRegistry, model_cfg, params,
                  batch_envs: int = 128, do_sample: bool = True,
-                 sample_seed: int = 0, mesh=None):
+                 sample_seed: int = 0, mesh=None,
+                 policy_batch: int | None = 8192,
+                 max_contexts: int = 32768):
         self.registry = registry
         self.model_cfg = model_cfg
         self.params = params
@@ -93,6 +95,11 @@ class Evaluator:
         self.do_sample = do_sample
         self.sample_seed = sample_seed
         self.mesh = mesh
+        # chunk the per-step policy forward (the reference's batch_size=2048
+        # chunking, ref:inference.py:30,87-101) so huge env x agent products
+        # stay within VMEM; max_contexts bounds the total batch.
+        self.policy_batch = policy_batch
+        self.max_contexts = max_contexts
         self._runners: dict = {}
 
     # -- internal ---------------------------------------------------------
@@ -135,7 +142,8 @@ class Evaluator:
                                    max_episode_steps=max_steps,
                                    on_target=on_target)
             run = make_batch_rollout(env_spec, self.model_cfg,
-                                     do_sample=self.do_sample)
+                                     do_sample=self.do_sample,
+                                     policy_batch=self.policy_batch)
             self._runners[spec_key] = (env_spec, run)
         return self._runners[spec_key]
 
@@ -156,15 +164,20 @@ class Evaluator:
         for key, group in groups.items():
             th, tw, slots, _, _ = key
             env_spec, run = self._runner(key, slots)
-            # cap total agent contexts per device batch: very large
-            # envs x agents products (e.g. 128 x 192) crash the TPU worker
-            # (observed on v5e at 24576 contexts; 12288 is stable)
-            batch_envs = max(1, min(self.batch_envs, 12288 // slots))
+            # bound the total env x agent product; the per-step forward is
+            # further chunked by policy_batch inside the rollout so VMEM
+            # stays bounded at any contexts count
+            batch_envs = max(1, min(self.batch_envs,
+                                    self.max_contexts // slots))
             for lo in range(0, len(group), batch_envs):
                 chunk = group[lo:lo + batch_envs]
                 n_real = len(chunk)
-                padded = chunk + [chunk[-1]] * (batch_envs - n_real) \
-                    if n_real < batch_envs else chunk
+                # tier the final short chunk to a multiple of 8 instead of
+                # padding to the full batch (duplicate episodes re-simulate
+                # for nothing; extra shape tiers just recompile once each)
+                bt = min(batch_envs, _tier(n_real, 8))
+                padded = chunk + [chunk[-1]] * (bt - n_real) \
+                    if n_real < bt else chunk
                 built = [self._build_instance(s, (th, tw), slots)
                          for s in padded]
                 grids = jnp.asarray(np.stack([b[0] for b in built]))

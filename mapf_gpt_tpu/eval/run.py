@@ -65,6 +65,10 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None,
                    help="cap the number of episodes (smoke runs)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--policy-batch", type=int, default=8192,
+                   help="microbatch the per-step policy forward (0 = off)")
+    p.add_argument("--max-contexts", type=int, default=32768,
+                   help="cap env x agent contexts per device batch")
     args = p.parse_args(argv)
 
     suite_name = os.path.basename(os.path.normpath(args.suite))
@@ -83,7 +87,9 @@ def main(argv=None):
     print(f"suite {suite_name}: {len(specs)} episodes, algo {algo_name}")
 
     ev = Evaluator(reg, model_cfg, params, batch_envs=args.batch_envs,
-                   do_sample=not args.argmax, sample_seed=args.seed)
+                   do_sample=not args.argmax, sample_seed=args.seed,
+                   policy_batch=args.policy_batch or None,
+                   max_contexts=args.max_contexts)
     result = ev.run(specs, progress=lambda d, t: print(f"  {d}/{t} episodes",
                                                        flush=True))
     out_json = os.path.join(args.out_dir, suite_name, f"{algo_name}.json")

@@ -72,11 +72,19 @@ def make_batch_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
     def policy(params, tokens2d):
         if policy_batch is None or tokens2d.shape[0] <= policy_batch:
             return forward(params, tokens2d)
+        # microbatch the forward to bound VMEM/HBM at large env x agent
+        # products (the reference's batch_size=2048 chunking,
+        # ref:inference.py:87-101); pad to a chunk multiple so any context
+        # count works
         n = tokens2d.shape[0]
-        assert n % policy_batch == 0, (n, policy_batch)
-        chunks = tokens2d.reshape(n // policy_batch, policy_batch, -1)
-        return jax.lax.map(lambda c: forward(params, c), chunks).reshape(
-            n, -1)
+        n_pad = -(-n // policy_batch) * policy_batch
+        if n_pad > n:
+            tokens2d = jnp.concatenate(
+                [tokens2d, jnp.zeros((n_pad - n, tokens2d.shape[1]),
+                                     tokens2d.dtype)], axis=0)
+        chunks = tokens2d.reshape(n_pad // policy_batch, policy_batch, -1)
+        out = jax.lax.map(lambda c: forward(params, c), chunks)
+        return out.reshape(n_pad, -1)[:n]
 
     @jax.jit
     def run(params, states, key):

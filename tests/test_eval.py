@@ -58,6 +58,55 @@ def test_evaluator_small_run():
         assert r["ep_length"] <= 8
 
 
+def test_policy_batch_microbatching_matches_full():
+    """Chunked forward (incl. ragged final chunk padding) == unchunked."""
+    import jax
+    import jax.numpy as jnp
+
+    from mapf_gpt_tpu.envs.env import MapfEnvSpec
+    from mapf_gpt_tpu.maps import sample_instance
+    from mapf_gpt_tpu.models.gpt import GPTConfig, init_params
+    from mapf_gpt_tpu.parallel.rollout import batch_reset, make_batch_rollout
+
+    cfg = GPTConfig(n_layer=1, n_head=2, n_embd=16)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    grid = random_grid(8, 0.1, 3)
+    insts = [sample_instance(grid, 3, s) for s in range(2)]
+    h, w = insts[0].grid.shape
+    spec = MapfEnvSpec(height=h, width=w, num_agents=3, max_episode_steps=6)
+    grids = jnp.asarray(np.stack([i.grid for i in insts]))
+    starts = jnp.asarray(np.stack([i.starts for i in insts]))
+    goals = jnp.asarray(np.stack([i.goals for i in insts]))[:, :, None, :]
+    active = jnp.ones((2, 3), dtype=bool)
+    states = batch_reset(spec, grids, starts, goals, active)
+    key = jax.random.PRNGKey(0)
+    run_full = make_batch_rollout(spec, cfg, do_sample=False)
+    run_chunk = make_batch_rollout(spec, cfg, do_sample=False,
+                                   policy_batch=4)  # 6 contexts -> 4+2(pad)
+    _, m_full = run_full(params, states, key)
+    _, m_chunk = run_chunk(params, states, key)
+    for a, b in zip(m_full, m_chunk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_evaluator_final_chunk_tiering():
+    """A short final chunk runs at a tiered batch, not duplicated to full."""
+    import jax
+
+    from mapf_gpt_tpu.models.gpt import GPTConfig, init_params
+
+    reg = MapRegistry()
+    reg.register("tiny", random_grid(8, 0.1, 0))
+    cfg = GPTConfig(n_layer=1, n_head=1, n_embd=16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    # 9 specs with batch_envs=64 -> one chunk of 9, tiered to 16 (not 64)
+    specs = [EpisodeSpec("tiny", 2, s, max_episode_steps=4) for s in range(9)]
+    ev = Evaluator(reg, cfg, params, batch_envs=64, do_sample=False)
+    res = ev.run(specs)
+    assert len(res.rows) == 9
+    assert {r["seed"] for r in res.rows} == set(range(9))
+
+
 def test_svg_render():
     grid = np.zeros((6, 6), dtype=bool)
     grid[0] = True
