@@ -148,23 +148,41 @@ def dedup_goals(grid: np.ndarray, goals: np.ndarray) -> np.ndarray:
 
 class LacamExpert:
     """Episode-level expert policy with the reference's fallback semantics:
-    solve once at reset (re-solve on goal change for lifelong), then follow
-    the per-agent paths; if unsolved, everyone waits in place."""
+    solve at reset, then follow the per-agent paths; if unsolved, everyone
+    waits in place.  For lifelong episodes, pass the current (positions,
+    goals) to :meth:`act` — any goal change triggers a fresh solve from the
+    current positions, matching ref:dataset/lacam/inference.py:148-188
+    (which rebuilds the scen string and re-runs LaCAM whenever an agent's
+    ``global_target_xy`` advances)."""
 
     def __init__(self, grid: np.ndarray, starts: np.ndarray,
-                 goals: np.ndarray, seed: int = 0):
+                 goals: np.ndarray, seed: int = 0,
+                 time_limits=TIME_LIMITS):
         self.grid = np.asarray(grid, dtype=bool)
-        self.goals = np.array(goals, dtype=np.int32)
         self.seed = seed
+        self.time_limits = time_limits
+        self.resolves = 0
+        self._solve(np.asarray(starts, dtype=np.int32),
+                    np.array(goals, dtype=np.int32))
+
+    def _solve(self, starts: np.ndarray, goals: np.ndarray) -> None:
+        self.goals = goals
         self.t = 0
         paths = solve_with_escalation(self.grid, starts,
-                                      dedup_goals(self.grid, self.goals),
-                                      seed=seed)
+                                      dedup_goals(self.grid, goals),
+                                      seed=self.seed,
+                                      time_limits=self.time_limits)
         self.failed = paths is None
         self.actions = (None if self.failed else paths_to_actions(paths))
         self.paths = paths
 
-    def act(self) -> np.ndarray:
+    def act(self, pos: np.ndarray | None = None,
+            goals: np.ndarray | None = None) -> np.ndarray:
+        if goals is not None and not np.array_equal(goals, self.goals):
+            assert pos is not None, "lifelong re-solve needs positions"
+            self.resolves += 1
+            self._solve(np.asarray(pos, dtype=np.int32),
+                        np.array(goals, dtype=np.int32))
         a = len(self.goals)
         if self.failed or self.t >= len(self.actions):
             return np.zeros((a,), dtype=np.int32)  # wait in place

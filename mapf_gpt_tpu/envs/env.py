@@ -50,6 +50,8 @@ class EnvState(NamedTuple):
                               # per-agent path cost is cost+1 capped at t;
                               # see envs/metrics.py.
     ep_len: jnp.ndarray       # int32 [] step at which done fired (else max steps)
+    goals_reached: jnp.ndarray  # int32 [A] lifelong goals achieved (uncapped,
+                              # unlike goal_idx which clamps at K-1)
     # episode constants (carried in the pytree so vmap can batch over maps)
     grid: jnp.ndarray         # bool [A?, H, W] -> [H, W] obstacles incl. border
     c2g: jnp.ndarray          # int32 [A, K, H, W] cost2go field per queued goal
@@ -90,6 +92,7 @@ def reset(spec: MapfEnvSpec, grid: jnp.ndarray, starts: jnp.ndarray,
         cost=jnp.where(jnp.logical_or(on_goal, jnp.logical_not(active)),
                        jnp.int32(-1), jnp.int32(0)),
         ep_len=jnp.int32(spec.max_episode_steps),
+        goals_reached=jnp.zeros((a,), jnp.int32),
         grid=grid,
         c2g=c2g,
         goals_queue=goals_queue.astype(jnp.int32),
@@ -128,9 +131,18 @@ def step(spec: MapfEnvSpec, state: EnvState, actions: jnp.ndarray) -> EnvState:
         new_idx = jnp.where(frozen, state.goal_idx, new_idx)
         new_goal = jnp.take_along_axis(
             state.goals_queue, new_idx[:, None, None], axis=1).squeeze(1)
+        # throughput accounting: a goal counts when first reached; standing
+        # on the final queued goal (exhausted queue) doesn't re-count
+        prev_on_goal = jnp.all(state.pos == state.goal, axis=-1)
+        exhausted = state.goal_idx >= spec.num_queued_goals - 1
+        achieved = jnp.logical_and(
+            jnp.logical_and(advance, jnp.logical_not(frozen)),
+            jnp.logical_not(jnp.logical_and(exhausted, prev_on_goal)))
+        goals_reached = state.goals_reached + achieved.astype(jnp.int32)
     else:
         new_idx = state.goal_idx
         new_goal = state.goal
+        goals_reached = state.goals_reached
 
     on_goal_now = jnp.all(new_pos == new_goal, axis=-1)
     cost = jnp.where(jnp.logical_or(on_goal_now, frozen), state.cost, t)
@@ -143,4 +155,4 @@ def step(spec: MapfEnvSpec, state: EnvState, actions: jnp.ndarray) -> EnvState:
 
     return state._replace(pos=new_pos, goal=new_goal, goal_idx=new_idx,
                           hist=new_hist, t=t, done=done, cost=cost,
-                          ep_len=ep_len)
+                          ep_len=ep_len, goals_reached=goals_reached)

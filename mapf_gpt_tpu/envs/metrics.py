@@ -34,6 +34,8 @@ class EpisodeMetrics(NamedTuple):
     makespan: jnp.ndarray   # f32 []
     ep_length: jnp.ndarray  # f32 []
     agents_density: jnp.ndarray  # f32 []
+    throughput: jnp.ndarray  # f32 [] lifelong goals reached / step (pogema's
+                             # avg_throughput; 0 for on_target=nothing)
 
 
 def episode_metrics(state: EnvState) -> EpisodeMetrics:
@@ -53,4 +55,6 @@ def episode_metrics(state: EnvState) -> EpisodeMetrics:
         makespan=jnp.max(cost).astype(jnp.float32),
         ep_length=state.ep_len.astype(jnp.float32),
         agents_density=jnp.sum(active).astype(jnp.float32) / free_cells,
+        throughput=(jnp.sum(state.goals_reached).astype(jnp.float32)
+                    / jnp.maximum(state.t, 1).astype(jnp.float32)),
     )

@@ -28,7 +28,7 @@ import numpy as np
 from mapf_gpt_tpu.maps import MapRegistry, pad_grid, sample_instance
 
 METRIC_KEYS = ("CSR", "ISR", "SoC", "makespan", "ep_length", "runtime",
-               "avg_agents_density")
+               "avg_agents_density", "avg_throughput")
 
 
 @dataclass(frozen=True)
@@ -38,6 +38,10 @@ class EpisodeSpec:
     seed: int
     max_episode_steps: int = 128
     on_target: str = "nothing"
+    # lifelong goal-queue depth; pogema issues unlimited goals, here a
+    # static queue (K) approximates it — agents that exhaust the queue
+    # hold their last goal and stop counting toward throughput
+    num_queued_goals: int = 1
 
 
 def expand_grid_search(env_cfg: dict) -> list[EpisodeSpec]:
@@ -55,12 +59,16 @@ def expand_grid_search(env_cfg: dict) -> list[EpisodeSpec]:
     for combo in itertools.product(*choices) if keys else [()]:
         cfg = dict(scalars)
         cfg.update(dict(zip(keys, combo)))
+        on_target = str(cfg.get("on_target", "nothing"))
+        k = int(cfg.get("num_queued_goals",
+                        16 if on_target == "restart" else 1))
         specs.append(EpisodeSpec(
             map_name=str(cfg.get("map_name", "")),
             num_agents=int(cfg.get("num_agents", 1)),
             seed=int(cfg.get("seed", 0)),
             max_episode_steps=int(cfg.get("max_episode_steps", 128)),
-            on_target=str(cfg.get("on_target", "nothing")),
+            on_target=on_target,
+            num_queued_goals=k,
         ))
     return specs
 
@@ -107,27 +115,35 @@ class Evaluator:
         grid = self.registry[spec.map_name]
         h, w = pad_grid(grid).shape
         return (_tier(h), _tier(w), _tier(spec.num_agents, 8),
-                spec.max_episode_steps, spec.on_target)
+                spec.max_episode_steps, spec.on_target,
+                spec.num_queued_goals)
 
     def _build_instance(self, spec: EpisodeSpec, hw: tuple[int, int],
                         slots: int):
+        """Returns (grid, starts [slots,2], goals_queue [slots,K,2], active).
+        K>1 queues come from sample_instance's lifelong goal sampling."""
+        kq = spec.num_queued_goals
         inst = sample_instance(self.registry[spec.map_name], spec.num_agents,
                                spec.seed, map_name=spec.map_name,
+                               num_lifelong_goals=kq if kq > 1 else 0,
                                masks=self.registry.masks(spec.map_name))
         h, w = inst.grid.shape
         th, tw = hw
         grid = np.pad(inst.grid, ((0, th - h), (0, tw - w)),
                       constant_values=True)
         starts = np.zeros((slots, 2), dtype=np.int32)
-        goals = np.zeros((slots, 2), dtype=np.int32)
+        goals = np.zeros((slots, kq, 2), dtype=np.int32)
         a = inst.num_agents
-        starts[:a], goals[:a] = inst.starts, inst.goals
+        starts[:a] = inst.starts
+        goals[:a] = (inst.lifelong_goals if kq > 1
+                     else inst.goals[:, None, :])
         if slots > a:  # park padding slots on distinct free cells, goal=start
             free = np.argwhere(~grid)
             used = {tuple(x) for x in inst.starts}
             extras = [c for c in map(tuple, free) if c not in used]
             for k in range(slots - a):
-                starts[a + k] = goals[a + k] = extras[k]
+                starts[a + k] = extras[k]
+                goals[a + k] = extras[k]
         active = np.zeros((slots,), dtype=bool)
         active[:a] = True
         return grid, starts, goals, active
@@ -136,11 +152,12 @@ class Evaluator:
         from mapf_gpt_tpu.envs.env import MapfEnvSpec
         from mapf_gpt_tpu.parallel.rollout import make_batch_rollout
 
-        th, tw, _, max_steps, on_target = spec_key
+        th, tw, _, max_steps, on_target, kq = spec_key
         if spec_key not in self._runners:
             env_spec = MapfEnvSpec(height=th, width=tw, num_agents=slots,
                                    max_episode_steps=max_steps,
-                                   on_target=on_target)
+                                   on_target=on_target,
+                                   num_queued_goals=kq)
             run = make_batch_rollout(env_spec, self.model_cfg,
                                      do_sample=self.do_sample,
                                      policy_batch=self.policy_batch)
@@ -162,7 +179,7 @@ class Evaluator:
 
         done = 0
         for key, group in groups.items():
-            th, tw, slots, _, _ = key
+            th, tw, slots = key[0], key[1], key[2]
             env_spec, run = self._runner(key, slots)
             # bound the total env x agent product; the per-step forward is
             # further chunked by policy_batch inside the rollout so VMEM
@@ -182,8 +199,7 @@ class Evaluator:
                          for s in padded]
                 grids = jnp.asarray(np.stack([b[0] for b in built]))
                 starts = jnp.asarray(np.stack([b[1] for b in built]))
-                goals = jnp.asarray(
-                    np.stack([b[2] for b in built]))[:, :, None, :]
+                goals = jnp.asarray(np.stack([b[2] for b in built]))
                 actives = jnp.asarray(np.stack([b[3] for b in built]))
                 t0 = time.perf_counter()
                 states = batch_reset(env_spec, grids, starts, goals, actives)
@@ -206,6 +222,7 @@ class Evaluator:
                         "ep_length": float(m["ep_length"][i]),
                         "runtime": runtime,
                         "avg_agents_density": float(m["agents_density"][i]),
+                        "avg_throughput": float(m["throughput"][i]),
                     })
                 done += n_real
                 progress(done, len(specs))
@@ -219,7 +236,8 @@ def tabular_view(rows: list[dict], drop_keys: list[str],
                  ) -> str:
     """Aggregate + format like pogema-toolbox's TabularView."""
     keep = [k for k in group_keys if k not in drop_keys]
-    metrics = [m for m in METRIC_KEYS if m not in drop_keys]
+    metrics = [m for m in METRIC_KEYS
+               if m not in drop_keys and (not rows or m in rows[0])]
     buckets: dict = {}
     for r in rows:
         k = tuple(r[g] for g in keep)

@@ -97,7 +97,8 @@ def _attention_fwd(qkv_s, att_s, c, t, e, heads, scale):
 
 def _fwd_kernel(x_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref, g1_ref, g2_ref,
                 o_ref, xsave_ref, qkv_s, att_s, *,
-                layers: int, heads: int, ctx: int, t: int, e: int):
+                layers: int, heads: int, ctx: int, t: int, e: int,
+                last_only: bool = True):
     scale = 1.0 / math.sqrt(e // heads)
     x = x_ref[...].reshape(ctx * t, e)
     for l in range(layers):
@@ -123,7 +124,10 @@ def _fwd_kernel(x_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref, g1_ref, g2_ref,
         x = x + jnp.dot(hact, wfc2_ref[l],
                         preferred_element_type=jnp.float32
                         ).astype(jnp.bfloat16)
-    o_ref[...] = x.reshape(ctx, t, e)[:, t - 1:t, :]
+    if last_only:
+        o_ref[...] = x.reshape(ctx, t, e)[:, t - 1:t, :]
+    else:
+        o_ref[...] = x.reshape(ctx, t, e)
 
 
 def _bwd_kernel(xsave_ref, dxin_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref,
@@ -287,12 +291,17 @@ def _full_spec(arr):
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_call(stacks, x, cfg, ctx, interpret):
+def _fwd_call(stacks, x, cfg, ctx, interpret, last_only=True):
+    """One forward chunk over the layers present in `stacks`.
+
+    Returns (out, xsave): out is [NC, E] last-position activations when
+    last_only else the full [NC, T, E] stream (fed to the next chunk)."""
     nc, t, e = x.shape
-    L = cfg.n_layer
+    L = stacks[4].shape[0]
     kern = functools.partial(_fwd_kernel, layers=L, heads=cfg.n_head,
-                             ctx=ctx, t=t, e=e)
-    out_shapes = (jax.ShapeDtypeStruct((nc, 1, e), jnp.bfloat16),
+                             ctx=ctx, t=t, e=e, last_only=last_only)
+    out_t = 1 if last_only else t
+    out_shapes = (jax.ShapeDtypeStruct((nc, out_t, e), jnp.bfloat16),
                   jax.ShapeDtypeStruct((2 * L, nc, t, e), jnp.bfloat16))
     xl, xsave = pl.pallas_call(
         kern,
@@ -300,7 +309,7 @@ def _fwd_call(stacks, x, cfg, ctx, interpret):
         in_specs=[pl.BlockSpec((ctx, t, e), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] +
                  [_full_spec(s) for s in stacks],
-        out_specs=(pl.BlockSpec((ctx, 1, e), lambda i: (i, 0, 0),
+        out_specs=(pl.BlockSpec((ctx, out_t, e), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((2 * L, ctx, t, e), lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)),
@@ -309,7 +318,7 @@ def _fwd_call(stacks, x, cfg, ctx, interpret):
                         pltpu.VMEM((ctx * t, e), jnp.bfloat16)],
         interpret=interpret,
     )(x, *stacks)
-    return xl[:, 0, :], xsave
+    return (xl[:, 0, :] if last_only else xl), xsave
 
 
 def _bwd_call(stacks, xsave, dxin, cfg, ctx, interpret):
@@ -334,6 +343,11 @@ def _bwd_call(stacks, xsave, dxin, cfg, ctx, interpret):
         memory_space=pltpu.VMEM)
     tile = pl.BlockSpec((ctx, t, e), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    # the fp32 weight-grad accumulator outputs alone are ~28 MB/layer at
+    # 85M (E=768) — past the default 16 MB scoped-VMEM budget, so raise it
+    # (v5e has 128 MB physical VMEM; the working set is measured, not bid)
+    grad_bytes = sum(4 * int(np.prod(s.shape)) for s in stacks)
+    vmem_limit = max(32 * 2 ** 20, grad_bytes + 24 * 2 ** 20)
     outs = pl.pallas_call(
         kern,
         grid=(nc // ctx,),
@@ -349,25 +363,57 @@ def _bwd_call(stacks, xsave, dxin, cfg, ctx, interpret):
                         pltpu.VMEM((ctx * t, e), jnp.bfloat16),
                         pltpu.VMEM((ctx * t, e), jnp.bfloat16),
                         pltpu.VMEM((ctx * t, 3 * e), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(xsave, dxin, *stacks)
     return outs
+
+
+def _fwd_layers_per_call(cfg) -> int:
+    """All layers in one call while the bf16 weight stacks fit in VMEM next
+    to the activation tile (2M: 3.2 MB, 6M: 12.6 MB); chunk otherwise
+    (85M: 14.2 MB/layer -> 2-layer chunks, x round-trips HBM between
+    chunks exactly like the inference kernel's layers_per_call)."""
+    return cfg.n_layer if cfg.n_embd <= 384 else 2
+
+
+def _fwd_chunks(stacks, x, cfg, ctx, interpret):
+    L = cfg.n_layer
+    lpc = _fwd_layers_per_call(cfg)
+    if lpc >= L:
+        return _fwd_call(stacks, x, cfg, ctx, interpret, last_only=True)
+    saves = []
+    xl = None
+    for lo in range(0, L, lpc):
+        hi = min(lo + lpc, L)
+        sl = tuple(s[lo:hi] for s in stacks)
+        last = hi == L
+        out, xsave = _fwd_call(sl, x, cfg, ctx, interpret, last_only=last)
+        saves.append(xsave)
+        if last:
+            xl = out
+        else:
+            x = out
+    return xl, jnp.concatenate(saves, axis=0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def fused_blocks_train(stacks: tuple, x: jnp.ndarray, cfg,
                        ctx: int, interpret: bool) -> jnp.ndarray:
     """x: [N, T, E] bf16 embeddings -> last-position activations [N, E]."""
-    xl, _ = _fwd_call(stacks, x, cfg, ctx, interpret)
+    xl, _ = _fwd_chunks(stacks, x, cfg, ctx, interpret)
     return xl
 
 
 def _fbt_fwd(stacks, x, cfg, ctx, interpret):
-    xl, xsave = _fwd_call(stacks, x, cfg, ctx, interpret)
+    xl, xsave = _fwd_chunks(stacks, x, cfg, ctx, interpret)
     return xl, (stacks, xsave)
 
 
-_BWD_LAYERS_PER_CALL = 2
+def _bwd_layers_per_call(cfg) -> int:
+    """The backward additionally keeps fp32 weight-grad accumulators
+    resident (2x the bf16 weight bytes), so chunk harder for wide models."""
+    return 2 if cfg.n_embd <= 384 else 1
 
 
 def _fbt_bwd(cfg, ctx, interpret, res, dxl):
@@ -378,12 +424,13 @@ def _fbt_bwd(cfg, ctx, interpret, res, dxl):
     # accumulators) is ~2x the forward's: halve the context tile and walk
     # layers in chunks, round-tripping dx through HBM between chunks
     ctx_b = max(1, ctx // 2)
+    blpc = _bwd_layers_per_call(cfg)
     # upstream gradient: the loss reads the last position only
     dx = jnp.pad(dxl.astype(jnp.bfloat16)[:, None, :],
                  ((0, 0), (t - 1, 0), (0, 0)))
     chunk_grads = []  # per chunk (top-down), each a 6-tuple
-    for lo in reversed(range(0, L, _BWD_LAYERS_PER_CALL)):
-        hi = min(lo + _BWD_LAYERS_PER_CALL, L)
+    for lo in reversed(range(0, L, blpc)):
+        hi = min(lo + blpc, L)
         sl = tuple(s[lo:hi] for s in stacks)
         outs = _bwd_call(sl, xsave[2 * lo:2 * hi], dx, cfg, ctx_b, interpret)
         dx = outs[0]

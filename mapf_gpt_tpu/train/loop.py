@@ -114,9 +114,11 @@ def train(args) -> dict:
         if args.valid_data else None)
 
     n_params = GPT.num_params(jax.device_get(state.params))
+    # 6N + 12LHQT is already the fwd+bwd per-token estimate
+    # (PaLM appendix B; ref:model.py:228-238 uses it the same way)
     flops_per_step = (transformer_flops_per_token(
         n_params, cfg.n_layer, cfg.n_head, cfg.n_embd // cfg.n_head,
-        cfg.block_size) * cfg.block_size * 3   # fwd + bwd
+        cfg.block_size) * cfg.block_size
         * batch_size * args.grad_accum)
     meter = Meter(flops_per_step)
     history = []

@@ -132,3 +132,36 @@ class TestEnv:
         # reached first goal -> now targeting second
         np.testing.assert_array_equal(np.asarray(state.goal), [[1, 4]])
         assert not bool(state.done)  # lifelong never terminates early
+
+
+class TestLifelongThroughput:
+    def test_goals_reached_counting(self):
+        """Each first arrival at a queued goal counts once; standing on the
+        exhausted final goal does not re-count."""
+        starts = np.asarray([[1, 1]], dtype=np.int32)
+        spec = menv.MapfEnvSpec(height=7, width=9, num_agents=1,
+                                max_episode_steps=8, on_target="restart",
+                                num_queued_goals=2)
+        goals_queue = jnp.asarray([[[1, 2], [1, 3]]], dtype=jnp.int32)
+        state = menv.reset(spec, _mini_grid(), jnp.asarray(starts),
+                           goals_queue, jnp.ones((1,), dtype=bool))
+        state = menv.step(spec, state, jnp.asarray([A_RIGHT]))  # goal 1
+        assert int(state.goals_reached[0]) == 1
+        state = menv.step(spec, state, jnp.asarray([A_RIGHT]))  # goal 2
+        assert int(state.goals_reached[0]) == 2
+        # waiting on the exhausted final goal must not re-count
+        state = menv.step(spec, state, jnp.asarray([A_WAIT]))
+        state = menv.step(spec, state, jnp.asarray([A_WAIT]))
+        assert int(state.goals_reached[0]) == 2
+        m = episode_metrics(state)
+        assert float(m.throughput) == 2.0 / 4.0
+
+    def test_one_shot_throughput_zero(self):
+        starts = np.asarray([[1, 1]], dtype=np.int32)
+        spec = menv.MapfEnvSpec(height=7, width=9, num_agents=1,
+                                max_episode_steps=4)
+        goals_queue = jnp.asarray([[[1, 2]]], dtype=jnp.int32)
+        state = menv.reset(spec, _mini_grid(), jnp.asarray(starts),
+                           goals_queue, jnp.ones((1,), dtype=bool))
+        state = menv.step(spec, state, jnp.asarray([A_RIGHT]))
+        assert float(episode_metrics(state).throughput) == 0.0

@@ -116,3 +116,33 @@ def test_svg_render():
     assert svg.startswith("<svg") and svg.endswith("</svg>")
     assert svg.count("<animate") == 4  # 2 agents x (cx, cy)
     assert "#84a58c" in svg            # obstacles drawn
+
+
+def test_evaluator_lifelong_restart():
+    """An on_target=restart spec runs end-to-end with a K>1 goal queue and
+    reports avg_throughput."""
+    import jax
+
+    from mapf_gpt_tpu.models.gpt import GPTConfig, init_params
+
+    reg = MapRegistry()
+    reg.register("tiny", random_grid(8, 0.1, 0))
+    cfg = GPTConfig(n_layer=1, n_head=1, n_embd=16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    specs = [EpisodeSpec("tiny", 2, s, max_episode_steps=8,
+                         on_target="restart", num_queued_goals=4)
+             for s in range(2)]
+    ev = Evaluator(reg, cfg, params, batch_envs=2, do_sample=True)
+    res = ev.run(specs)
+    assert len(res.rows) == 2
+    for r in res.rows:
+        assert r["ep_length"] == 8  # lifelong only truncates
+        assert r["avg_throughput"] >= 0.0
+
+
+def test_expand_grid_search_lifelong_defaults():
+    specs = expand_grid_search({"map_name": "x", "num_agents": 2, "seed": 0,
+                                "on_target": "restart"})
+    assert specs[0].num_queued_goals == 16
+    specs = expand_grid_search({"map_name": "x", "num_agents": 2, "seed": 0})
+    assert specs[0].num_queued_goals == 1

@@ -84,3 +84,31 @@ def test_dedup_goals():
     np.testing.assert_array_equal(out[0], [2, 2])   # first keeps its goal
     for g in out[1:]:                                # others remapped nearby
         assert abs(g[0] - 2) + abs(g[1] - 2) <= 2
+
+
+@needs_toolchain
+def test_lifelong_resolve_on_goal_change():
+    """A goal change mid-episode triggers a fresh solve from the current
+    positions (ref:dataset/lacam/inference.py:148-188)."""
+    grid = np.zeros((8, 8), dtype=bool)
+    starts = np.asarray([[0, 0], [7, 7]], dtype=np.int32)
+    goals = np.asarray([[0, 3], [7, 4]], dtype=np.int32)
+    ex = expert.LacamExpert(grid, starts, goals, time_limits=(1.0,))
+    assert not ex.failed
+    pos = starts.copy()
+    a = ex.act(pos, goals)
+    pos = pos + np.asarray([expert_moves(x) for x in a])
+    # agent 0's goal advances (lifelong): expert must re-solve
+    new_goals = np.asarray([[5, 0], [7, 4]], dtype=np.int32)
+    a = ex.act(pos, new_goals)
+    assert ex.resolves == 1
+    # follow to completion: both agents end on their new goals
+    for _ in range(30):
+        pos = pos + np.asarray([expert_moves(x) for x in a])
+        a = ex.act(pos, new_goals)
+    np.testing.assert_array_equal(pos, new_goals)
+
+
+def expert_moves(action):
+    from mapf_gpt_tpu.ops.vocab import MOVES
+    return MOVES[action]

@@ -72,3 +72,14 @@ def test_one_sgd_step_decreases_loss():
             lambda p, gg: p - 0.1 * gg.astype(p.dtype), params, g)
     l1 = float(lfn(params))
     assert l1 < l0 - 0.5, (l0, l1)
+
+
+def test_chunked_layers_grads(monkeypatch):
+    """Force the 85M-style layer-chunked fwd/bwd walk on a small model and
+    check gradient parity (the wide-model path, VMEM-sized chunks)."""
+    from mapf_gpt_tpu.ops import fused_gpt_train as fgt
+
+    monkeypatch.setattr(fgt, "_fwd_layers_per_call", lambda cfg: 1)
+    monkeypatch.setattr(fgt, "_bwd_layers_per_call", lambda cfg: 1)
+    cfg = GPTConfig(n_layer=3, n_head=2, n_embd=64, block_size=64)
+    _grad_compare(cfg, n=16)
