@@ -80,6 +80,59 @@ def parse_movingai_map(text: str) -> np.ndarray:
     return parse_ascii_map_ex("\n".join(grid_lines), movingai=True)[0]
 
 
+def parse_scen(text: str, grid: np.ndarray, num_agents: int | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Parse MovingAI ``.scen`` start/goal pairs against an (unpadded) grid.
+
+    Format per line: ``bucket<TAB>map<TAB>w<TAB>h<TAB>x_s<TAB>y_s<TAB>x_g
+    <TAB>y_g<TAB>cost`` with x = column, y = row.  Mirrors the reference's
+    filtering (ref:dataset/lacam/lacam3/src/instance.cpp:28-66): entries out
+    of range or on blocked cells are skipped; reading stops once
+    ``num_agents`` pairs are collected.  Returns (starts, goals) as int32
+    [A, 2] (row, col) in the *unpadded* frame.
+    """
+    h, w = grid.shape
+    starts, goals = [], []
+    for line in text.splitlines():
+        parts = line.rstrip("\r").split("\t")
+        if len(parts) < 9 or not parts[0].strip().isdigit():
+            continue  # header / malformed lines
+        try:
+            xs, ys, xg, yg = (int(parts[4]), int(parts[5]),
+                              int(parts[6]), int(parts[7]))
+        except ValueError:
+            continue
+        if not (0 <= xs < w and 0 <= xg < w and 0 <= ys < h and 0 <= yg < h):
+            continue
+        if grid[ys, xs] or grid[yg, xg]:
+            continue
+        starts.append((ys, xs))
+        goals.append((yg, xg))
+        if num_agents is not None and len(starts) == num_agents:
+            break
+    return (np.asarray(starts, dtype=np.int32).reshape(-1, 2),
+            np.asarray(goals, dtype=np.int32).reshape(-1, 2))
+
+
+def scen_instance(map_text: str, scen_text: str,
+                  num_agents: int | None = None, map_name: str = "",
+                  pad: bool = True) -> Instance:
+    """Build an Instance from MovingAI ``.map`` + ``.scen`` file contents,
+    the reference LaCAM CLI's input mode (ref:dataset/lacam/main.cpp:99-138).
+    """
+    grid = parse_movingai_map(map_text)
+    starts, goals = parse_scen(scen_text, grid, num_agents)
+    if num_agents is not None and len(starts) < num_agents:
+        raise ValueError(
+            f"scen provides {len(starts)} valid pairs < {num_agents}")
+    if pad:
+        b = C2G_RADIUS
+        grid = pad_grid(grid)
+        starts, goals = starts + b, goals + b
+    return Instance(grid=grid, starts=starts, goals=goals,
+                    map_name=map_name)
+
+
 def grid_to_str(grid: np.ndarray) -> str:
     return "\n".join("".join("#" if c else "." for c in row) for row in grid)
 
