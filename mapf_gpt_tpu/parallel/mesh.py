@@ -45,8 +45,18 @@ def data_sharded(mesh: Mesh, axis: int = 0) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
-    """Device-put every array in `tree` sharded along `axis` over data."""
+    """Shard every array in `tree` along `axis` over the data axis.
+
+    Single-process: a device_put with a NamedSharding.  Multi-host (one
+    process per host under jax.distributed): each process passes its *local*
+    slice and the pieces assemble into one global array
+    (jax.make_array_from_process_local_data), so data loaders keep their
+    per-process file sharding."""
     sh = data_sharded(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
@@ -74,3 +84,14 @@ def sharded_rollout(mesh: Mesh, run):
     env_sh = data_sharded(mesh, 0)
     return jax.jit(run, in_shardings=(rep, env_sh, rep),
                    out_shardings=(env_sh, env_sh))
+
+
+def sharded_eval_step(mesh: Mesh, eval_step):
+    """Wrap an eval step for the mesh: params replicated, batch sharded on
+    axis 0, scalar outputs replicated — XLA inserts the cross-shard mean
+    reduction (the trainer's run_eval would otherwise evaluate the full
+    batch redundantly on device 0 of every process)."""
+    rep = replicated(mesh)
+    batch_sh = data_sharded(mesh, 0)
+    return jax.jit(eval_step, in_shardings=(rep, batch_sh, batch_sh),
+                   out_shardings=(rep, rep))

@@ -103,7 +103,7 @@ def train(args) -> dict:
     state = pmesh.replicate(mesh, state)
 
     step_fn = pmesh.sharded_train_step(mesh, make_train_step(cfg, tc))
-    eval_fn = jax.jit(make_eval_step(cfg))
+    eval_fn = pmesh.sharded_eval_step(mesh, make_eval_step(cfg))
 
     train_stream = iter(ArrowShardStream(
         args.train_data, batch_size, args.grad_accum,
@@ -141,7 +141,11 @@ def train(args) -> dict:
         losses, accs = [], []
         for _ in range(args.eval_iters):
             x, y = next(valid_stream)
-            loss, acc = eval_fn(state.params, x[0], y[0])
+            # eval batch sharded over the mesh; the scalar means come back
+            # replicated (XLA inserts the cross-shard psum)
+            loss, acc = eval_fn(state.params,
+                                pmesh.shard_batch(mesh, x[0]),
+                                pmesh.shard_batch(mesh, y[0]))
             losses.append(float(loss))
             accs.append(float(acc))
         return float(np.mean(losses)), float(np.mean(accs))

@@ -1,0 +1,71 @@
+"""Multichip correctness gates on the forced 8-device CPU mesh: sharding
+must change *placement only* — sharded and unsharded runs produce identical
+results on identical inputs (VERDICT r1 item 7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapf_gpt_tpu.envs import env as menv
+from mapf_gpt_tpu.maps import random_grid, sample_instance
+from mapf_gpt_tpu.models.gpt import GPTConfig, init_params
+from mapf_gpt_tpu.parallel import mesh as pmesh
+from mapf_gpt_tpu.parallel.rollout import batch_reset, make_batch_rollout
+from mapf_gpt_tpu.train.train_step import make_eval_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the 8-device CPU mesh")
+
+
+def _instances(n_env, agents, seed0=0):
+    insts = [sample_instance(random_grid(13, 0.25, s + seed0), agents,
+                             seed=s + seed0) for s in range(n_env)]
+    h, w = insts[0].grid.shape
+    spec = menv.MapfEnvSpec(height=h, width=w, num_agents=agents,
+                            max_episode_steps=16)
+    args = (jnp.asarray(np.stack([i.grid for i in insts])),
+            jnp.asarray(np.stack([i.starts for i in insts])),
+            jnp.asarray(np.stack([i.goals for i in insts]))[:, :, None, :],
+            jnp.ones((n_env, agents), dtype=bool))
+    return spec, args
+
+
+def test_sharded_rollout_metrics_identical():
+    """16 real maze/random envs, argmax policy: every per-episode metric
+    from the sharded rollout equals the unsharded run bit-for-bit."""
+    mesh = pmesh.make_mesh(n_data=8, devices=jax.devices()[:8])
+    cfg = GPTConfig(n_layer=2, n_head=2, n_embd=32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    spec, args = _instances(n_env=16, agents=4)
+    run = make_batch_rollout(spec, cfg, do_sample=False)
+
+    states = batch_reset(spec, *args)
+    key = jax.random.PRNGKey(7)
+    _, m_plain = jax.jit(run)(params, states, key)
+
+    sh_states = pmesh.shard_batch(mesh, batch_reset(spec, *args))
+    sh_run = pmesh.sharded_rollout(mesh, run)
+    _, m_shard = sh_run(pmesh.replicate(mesh, params), sh_states, key)
+
+    for name, a, b in zip(m_plain._fields, m_plain, m_shard):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"metric {name}")
+
+
+def test_sharded_eval_step_matches_unsharded():
+    """The trainer's mesh-aware eval: sharded batch mean == plain mean."""
+    mesh = pmesh.make_mesh(n_data=8, devices=jax.devices()[:8])
+    cfg = GPTConfig(n_layer=2, n_head=2, n_embd=32)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, cfg.vocab_size, (64, 256)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 5, (64,)), jnp.int32)
+    eval_step = make_eval_step(cfg)
+    loss0, acc0 = jax.jit(eval_step)(params, x, y)
+    eval_sh = pmesh.sharded_eval_step(mesh, eval_step)
+    loss1, acc1 = eval_sh(pmesh.replicate(mesh, params),
+                          pmesh.shard_batch(mesh, x),
+                          pmesh.shard_batch(mesh, y))
+    assert abs(float(loss0) - float(loss1)) < 1e-5
+    assert abs(float(acc0) - float(acc1)) < 1e-6
