@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--out-dir", default="results")
     p.add_argument("--argmax", action="store_true")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--policy-batch", type=int, default=8192)
+    p.add_argument("--max-contexts", type=int, default=32768)
     args = p.parse_args(argv)
 
     from mapf_gpt_tpu.eval import run as eval_run
@@ -42,7 +44,9 @@ def main(argv=None):
             print(f"skipping {suite}: {suite_dir} not found")
             continue
         argv2 = ["--suite", suite_dir, "--out-dir", args.out_dir,
-                 "--batch-envs", str(args.batch_envs)]
+                 "--batch-envs", str(args.batch_envs),
+                 "--policy-batch", str(args.policy_batch),
+                 "--max-contexts", str(args.max_contexts)]
         if args.weights:
             argv2 += ["--weights", args.weights]
         if args.model:
