@@ -181,6 +181,16 @@ def _blocks_call(x: jnp.ndarray, stacks: dict, cfg, *, ctx: int,
     out_t = 1 if last_only else t
     kern = functools.partial(_block_kernel, layers=layers, heads=cfg.n_head,
                              ctx=ctx, t=t, e=e, last_only=last_only)
+    # wide models (85M: 14.2 MB/layer of weights) overflow the default
+    # 16 MB scoped-VMEM budget once this kernel sits inside a rollout scan;
+    # bid the measured working set instead (weights + double-buffered
+    # activation tiles + scratch + headroom)
+    weight_bytes = sum(2 * int(np.prod(stacks[k].shape)) for k in
+                       ("wqkv", "wproj", "wfc", "wfc2"))
+    tile_bytes = 2 * ctx * t * e * 2 + 2 * ctx * out_t * e * 2
+    scratch_bytes = ctx * t * 4 * e * 2
+    vmem_limit = min(int(1.5 * (weight_bytes + tile_bytes + scratch_bytes)
+                         + 16 * 2 ** 20), 110 * 2 ** 20)
     return pl.pallas_call(
         kern,
         grid=(nc // ctx,),
@@ -193,6 +203,7 @@ def _blocks_call(x: jnp.ndarray, stacks: dict, cfg, *, ctx: int,
         out_shape=jax.ShapeDtypeStruct((nc, out_t, e), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((ctx * t, 3 * e), jnp.bfloat16),
                         pltpu.VMEM((ctx * t, e), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(x, stacks["wqkv"], stacks["wproj"], stacks["wfc"], stacks["wfc2"],
       stacks["g1"], stacks["g2"])
