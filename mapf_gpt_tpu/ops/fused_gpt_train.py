@@ -347,7 +347,7 @@ def _bwd_call(stacks, xsave, dxin, cfg, ctx, interpret):
     # 85M (E=768) — past the default 16 MB scoped-VMEM budget, so raise it
     # (v5e has 128 MB physical VMEM; the working set is measured, not bid)
     grad_bytes = sum(4 * int(np.prod(s.shape)) for s in stacks)
-    vmem_limit = max(32 * 2 ** 20, grad_bytes + 24 * 2 ** 20)
+    vmem_limit = max(32 * 2 ** 20, grad_bytes + 40 * 2 ** 20)
     outs = pl.pallas_call(
         kern,
         grid=(nc // ctx,),
