@@ -165,8 +165,8 @@ class Evaluator:
         return self._runners[spec_key]
 
     # -- public -----------------------------------------------------------
-    def run(self, specs: list[EpisodeSpec], progress=lambda *_: None
-            ) -> EvalResult:
+    def run(self, specs: list[EpisodeSpec], progress=lambda *_: None,
+            on_chunk=None) -> EvalResult:
         import jax
         import jax.numpy as jnp
 
@@ -226,6 +226,8 @@ class Evaluator:
                     })
                 done += n_real
                 progress(done, len(specs))
+                if on_chunk is not None:
+                    on_chunk(result)
         return result
 
 

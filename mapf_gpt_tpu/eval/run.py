@@ -90,9 +90,12 @@ def main(argv=None):
                    do_sample=not args.argmax, sample_seed=args.seed,
                    policy_batch=args.policy_batch or None,
                    max_contexts=args.max_contexts)
-    result = ev.run(specs, progress=lambda d, t: print(f"  {d}/{t} episodes",
-                                                       flush=True))
     out_json = os.path.join(args.out_dir, suite_name, f"{algo_name}.json")
+    result = ev.run(specs,
+                    progress=lambda d, t: print(f"  {d}/{t} episodes",
+                                                flush=True),
+                    # persist incrementally so long runs survive interruption
+                    on_chunk=lambda r: r.save_json(out_json, algo_name))
     result.save_json(out_json, algo_name)
     print(f"wrote {out_json}")
 
