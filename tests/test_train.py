@@ -114,3 +114,33 @@ def test_sharded_train_step_on_mesh():
     step2 = jax.jit(make_train_step(CFG, tc))
     state2, loss2 = step2(state2, x2, y2)
     np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-4)
+
+
+def test_trainer_cli_resume(tmp_path):
+    """End-to-end resume through the trainer driver: train 2 iters, save,
+    resume to 4 — the second run must pick up at the checkpointed step."""
+    import numpy as np
+
+    from mapf_gpt_tpu.train import loop as tloop
+    from mapf_gpt_tpu.train.data import write_arrow_shard
+
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(0, 67, size=(256, 256)).astype(np.int8)
+    actions = rng.randint(0, 5, size=(256,)).astype(np.int8)
+    (tmp_path / "d").mkdir()
+    write_arrow_shard(str(tmp_path / "d" / "chunk_0_part_0.arrow"),
+                      tokens, actions)
+
+    def args(max_iters, resume):
+        return tloop.parse_args([
+            "--model", "2M", "--train-data", str(tmp_path / "d"),
+            "--out-dir", str(tmp_path / "out"), "--batch-size", "32",
+            "--grad-accum", "1", "--max-iters", str(max_iters),
+            "--eval-interval", "2", "--log-interval", "1"]
+            + (["--resume"] if resume else []))
+
+    r1 = tloop.train(args(2, resume=False))
+    assert [h["iter"] for h in r1["history"]] == [0, 1]
+    r2 = tloop.train(args(4, resume=True))
+    # resumed at iter 2 (the checkpoint written at the iter-2 eval)
+    assert [h["iter"] for h in r2["history"]] == [2, 3]
