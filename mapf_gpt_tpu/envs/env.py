@@ -131,13 +131,12 @@ def step(spec: MapfEnvSpec, state: EnvState, actions: jnp.ndarray) -> EnvState:
         new_idx = jnp.where(frozen, state.goal_idx, new_idx)
         new_goal = jnp.take_along_axis(
             state.goals_queue, new_idx[:, None, None], axis=1).squeeze(1)
-        # throughput accounting: a goal counts when first reached; standing
-        # on the final queued goal (exhausted queue) doesn't re-count
-        prev_on_goal = jnp.all(state.pos == state.goal, axis=-1)
-        exhausted = state.goal_idx >= spec.num_queued_goals - 1
+        # throughput accounting: each of the K queued goals counts exactly
+        # once (pogema spawns a fresh goal per arrival, so re-reaching or
+        # standing on the exhausted final goal must not re-count)
         achieved = jnp.logical_and(
             jnp.logical_and(advance, jnp.logical_not(frozen)),
-            jnp.logical_not(jnp.logical_and(exhausted, prev_on_goal)))
+            state.goals_reached < spec.num_queued_goals)
         goals_reached = state.goals_reached + achieved.astype(jnp.int32)
     else:
         new_idx = state.goal_idx

@@ -95,7 +95,8 @@ class Evaluator:
                  batch_envs: int = 128, do_sample: bool = True,
                  sample_seed: int = 0, mesh=None,
                  policy_batch: int | None = 8192,
-                 max_contexts: int = 32768):
+                 max_contexts: int = 32768,
+                 mask_cfg=None):
         self.registry = registry
         self.model_cfg = model_cfg
         self.params = params
@@ -108,7 +109,11 @@ class Evaluator:
         # stay within VMEM; max_contexts bounds the total batch.
         self.policy_batch = policy_batch
         self.max_contexts = max_contexts
+        # input-ablation switches (the reference's mask_* inference options,
+        # ref:mapf_gpt/inference.py:23-26), applied inside the rollout
+        self.mask_cfg = mask_cfg
         self._runners: dict = {}
+        self._compiled: dict = {}
 
     # -- internal ---------------------------------------------------------
     def _group_key(self, spec: EpisodeSpec):
@@ -137,13 +142,19 @@ class Evaluator:
         starts[:a] = inst.starts
         goals[:a] = (inst.lifelong_goals if kq > 1
                      else inst.goals[:, None, :])
-        if slots > a:  # park padding slots on distinct free cells, goal=start
+        if slots > a:  # park padding slots on free cells, goal=start
             free = np.argwhere(~grid)
             used = {tuple(x) for x in inst.starts}
             extras = [c for c in map(tuple, free) if c not in used]
+            if not extras:
+                # dense layouts (5x5 puzzles at the 8-slot tier) can host an
+                # agent on every free cell; inactive slots are invisible to
+                # dynamics and observations (envs/dynamics.py drops them from
+                # collision scatters), so reusing occupied cells is safe
+                extras = [tuple(inst.starts[0])]
             for k in range(slots - a):
-                starts[a + k] = extras[k]
-                goals[a + k] = extras[k]
+                starts[a + k] = extras[k % len(extras)]
+                goals[a + k] = extras[k % len(extras)]
         active = np.zeros((slots,), dtype=bool)
         active[:a] = True
         return grid, starts, goals, active
@@ -160,9 +171,20 @@ class Evaluator:
                                    num_queued_goals=kq)
             run = make_batch_rollout(env_spec, self.model_cfg,
                                      do_sample=self.do_sample,
-                                     policy_batch=self.policy_batch)
+                                     policy_batch=self.policy_batch,
+                                     mask_cfg=self.mask_cfg)
             self._runners[spec_key] = (env_spec, run)
         return self._runners[spec_key]
+
+    def _compiled_run(self, spec_key, run, params, states, key_rng):
+        """AOT-compile the episode runner per batch shape so compile time
+        never pollutes the per-episode ``runtime`` metric (pogema's
+        RuntimeMetricWrapper times execution only)."""
+        shape_key = (spec_key, states.pos.shape[0])
+        if shape_key not in self._compiled:
+            self._compiled[shape_key] = run.lower(
+                params, states, key_rng).compile()
+        return self._compiled[shape_key]
 
     # -- public -----------------------------------------------------------
     def run(self, specs: list[EpisodeSpec], progress=lambda *_: None,
@@ -201,15 +223,22 @@ class Evaluator:
                 starts = jnp.asarray(np.stack([b[1] for b in built]))
                 goals = jnp.asarray(np.stack([b[2] for b in built]))
                 actives = jnp.asarray(np.stack([b[3] for b in built]))
-                t0 = time.perf_counter()
                 states = batch_reset(env_spec, grids, starts, goals, actives)
                 key_rng = jax.random.fold_in(
                     jax.random.PRNGKey(self.sample_seed), done)
-                final, metrics = run(self.params, states, key_rng)
+                compiled = self._compiled_run(key, run, self.params,
+                                              states, key_rng)
+                t0 = time.perf_counter()
+                final, metrics = compiled(self.params, states, key_rng)
                 # host fetch doubles as the sync barrier (block_until_ready
                 # returns before execution on remote-tunneled platforms)
                 m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
-                runtime = (time.perf_counter() - t0) / n_real
+                # per-episode runtime = the batch's execution wall time split
+                # evenly over its episodes: batch-synchronous scan runs every
+                # episode for max_episode_steps, so the marginal cost per
+                # episode is uniform (unlike pogema's per-process timing,
+                # compile time is excluded via the AOT compile above)
+                runtime = (time.perf_counter() - t0) / bt
                 for i, spec in enumerate(chunk):
                     result.rows.append({
                         "map_name": spec.map_name,

@@ -2,12 +2,20 @@
 
     python -m mapf_gpt_tpu.eval.run --suite /root/reference/eval_configs/01-random \
         [--weights out/ckpt | --weights path/to/MAPF-GPT-2M.pt | --random-init 2M] \
+        [--algo MAPF-GPT-2M] [--mask greed_action ...] \
         [--batch-envs 128] [--out-dir results] [--argmax] [--limit N]
 
 Loads the suite's ``maps.yaml`` + ``<suite>.yaml`` (reference format), expands
 the grid search, runs batched on-device episodes, writes
 ``<out>/<suite>/<algo>.json`` and prints the tabular view — mirroring
 ref:benchmark.py:20-50 + pogema-toolbox's evaluation/views.
+
+``--algo KEY`` selects an entry from the suite yaml's ``algorithms`` block
+(the reference's per-algorithm config, ref:mapf_gpt/inference.py:13-31):
+``path_to_weights`` resolves the checkpoint (``--weights`` still overrides,
+e.g. for locally trained orbax dirs), ``mask_*`` flags switch on the input
+ablations, and ``parallel_backend``/``num_process`` are noted but unused —
+process fan-out is replaced by on-device env batching (``--batch-envs``).
 """
 
 from __future__ import annotations
@@ -26,8 +34,57 @@ from mapf_gpt_tpu.maps import MapRegistry
 from mapf_gpt_tpu.models.gpt import CONFIGS, init_params
 
 
-def load_policy(args):
+MASK_KEYS = ("mask_actions_history", "mask_cost2go", "mask_goal",
+             "mask_greed_action")
+
+
+def resolve_algorithm(suite_cfg: dict, args) -> tuple[dict, object]:
+    """Pick an ``algorithms``-block entry and build the MaskConfig.
+
+    Returns (algo_cfg, mask_cfg).  CLI ``--mask`` flags OR into the yaml's
+    mask_* switches (ref:mapf_gpt/inference.py:23-26)."""
+    from mapf_gpt_tpu.ops.masking import MaskConfig
+
+    algo_cfg: dict = {}
+    if args.algo:
+        algos = suite_cfg.get("algorithms") or {}
+        if args.algo not in algos:
+            raise SystemExit(
+                f"algorithm {args.algo!r} not in suite yaml "
+                f"(available: {sorted(algos)})")
+        algo_cfg = dict(algos[args.algo])
+    cli_masks = {f"mask_{m}" for m in (args.mask or [])}
+    unknown = cli_masks - set(MASK_KEYS)
+    if unknown:
+        raise SystemExit(f"unknown --mask flags: {sorted(unknown)}; "
+                         f"choose from {[k[5:] for k in MASK_KEYS]}")
+    mask_cfg = MaskConfig(**{k: bool(algo_cfg.get(k, False)) or k in cli_masks
+                             for k in MASK_KEYS})
+    return algo_cfg, mask_cfg
+
+
+def load_policy(args, algo_cfg: dict | None = None):
     """Returns (model_cfg, params, name)."""
+    algo_cfg = algo_cfg or {}
+    if not args.weights and not args.random_init:
+        # fall back to the algorithms block's path_to_weights
+        # (ref:eval_configs/05-puzzles/05-puzzles.yaml:38)
+        ptw = algo_cfg.get("path_to_weights")
+        if ptw:
+            cand = [ptw] + ([os.path.join(args.weights_root, ptw)]
+                            if args.weights_root else [])
+            found = [c for c in cand if os.path.exists(c)]
+            if not found:
+                raise SystemExit(
+                    f"path_to_weights {ptw!r} not found (tried {cand}); "
+                    "pass --weights to override (reference .pt downloads "
+                    "are egress-blocked in this environment)")
+            args.weights = found[0]
+            if args.model is None:  # infer size from the weights name
+                for size in CONFIGS:
+                    if size in os.path.basename(ptw):
+                        args.model = size
+                        break
     if args.random_init:
         cfg = CONFIGS[args.random_init]
         params = init_params(cfg, __import__("jax").random.PRNGKey(0))
@@ -59,6 +116,13 @@ def main(argv=None):
     p.add_argument("--weights", default=None)
     p.add_argument("--model", default=None, choices=[None, *CONFIGS])
     p.add_argument("--random-init", default=None, choices=list(CONFIGS))
+    p.add_argument("--algo", default=None,
+                   help="key into the suite yaml's algorithms block")
+    p.add_argument("--weights-root", default=None,
+                   help="directory to resolve the yaml's path_to_weights in")
+    p.add_argument("--mask", nargs="*", default=None,
+                   help="input ablations: actions_history cost2go goal "
+                        "greed_action (also honored from the yaml)")
     p.add_argument("--batch-envs", type=int, default=128)
     p.add_argument("--out-dir", default="results")
     p.add_argument("--argmax", action="store_true")
@@ -83,13 +147,22 @@ def main(argv=None):
     specs = expand_grid_search(suite_cfg["environment"])
     if args.limit:
         specs = specs[: args.limit]
-    model_cfg, params, algo_name = load_policy(args)
-    print(f"suite {suite_name}: {len(specs)} episodes, algo {algo_name}")
+    algo_cfg, mask_cfg = resolve_algorithm(suite_cfg, args)
+    model_cfg, params, algo_name = load_policy(args, algo_cfg)
+    if args.algo:
+        algo_name = args.algo
+    if mask_cfg.any:
+        algo_name += "-" + "-".join(
+            k[5:] for k in MASK_KEYS if getattr(mask_cfg, k))
+    print(f"suite {suite_name}: {len(specs)} episodes, algo {algo_name}"
+          + (f" masks={[k for k in MASK_KEYS if getattr(mask_cfg, k)]}"
+             if mask_cfg.any else ""))
 
     ev = Evaluator(reg, model_cfg, params, batch_envs=args.batch_envs,
                    do_sample=not args.argmax, sample_seed=args.seed,
                    policy_batch=args.policy_batch or None,
-                   max_contexts=args.max_contexts)
+                   max_contexts=args.max_contexts,
+                   mask_cfg=mask_cfg if mask_cfg.any else None)
     out_json = os.path.join(args.out_dir, suite_name, f"{algo_name}.json")
     result = ev.run(specs,
                     progress=lambda d, t: print(f"  {d}/{t} episodes",

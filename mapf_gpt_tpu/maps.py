@@ -195,7 +195,7 @@ class MapRegistry:
 
 def random_grid(size: int, density: float, seed: int) -> np.ndarray:
     """Uniform random obstacles at the given density."""
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed & 0xFFFFFFFF)
     return rng.rand(size, size) < density
 
 
@@ -205,7 +205,7 @@ def maze_grid(size: int, seed: int, wall_components: int = 8,
     then knock out extra walls until the obstacle density matches pogema-style
     imperfect mazes (the reference's training/eval maze maps measure ~0.31-0.40
     obstacles, ref:dataset/dataset_configs/11-medium-mazes-eval/maps.yaml)."""
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed & 0xFFFFFFFF)
     n = size if size % 2 == 1 else size + 1
     grid = np.ones((n, n), dtype=bool)
     start = (1, 1)
@@ -322,7 +322,7 @@ def sample_instance(
         grid = pad_grid(grid)
         smask = np.pad(smask, C2G_RADIUS, constant_values=False)
         gmask = np.pad(gmask, C2G_RADIUS, constant_values=False)
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed & 0xFFFFFFFF)
     comp = _components(grid)
     free = np.argwhere(~grid)
     start_cand = np.argwhere(~grid & smask)

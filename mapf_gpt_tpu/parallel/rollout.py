@@ -27,12 +27,20 @@ import jax.numpy as jnp
 from mapf_gpt_tpu.envs import env as menv
 from mapf_gpt_tpu.envs.metrics import EpisodeMetrics, episode_metrics
 from mapf_gpt_tpu.models.gpt import GPTConfig, act, make_forward
+from mapf_gpt_tpu.ops.masking import MaskConfig, apply_masks
 from mapf_gpt_tpu.ops.obs import observe
 
 
-def _tokens_of(state: menv.EnvState) -> jnp.ndarray:
+def _tokens_of(state: menv.EnvState,
+               mask_cfg: MaskConfig | None = None) -> jnp.ndarray:
     c2g = menv.current_c2g(state)
-    return observe(c2g, state.pos, state.goal, state.hist, state.active)
+    tokens = observe(c2g, state.pos, state.goal, state.hist, state.active)
+    if mask_cfg is not None and mask_cfg.any:
+        # input-ablation switches, applied right after tokenization — the
+        # reference's mask_* inference options (ref:mapf_gpt/inference.py:23-26
+        # -> ref:dataset/tokenizer/tokenizer.py:104-138)
+        tokens = apply_masks(tokens, mask_cfg)
+    return tokens
 
 
 @partial(jax.jit, static_argnums=0)
@@ -58,7 +66,8 @@ def replay_rollout(spec: menv.MapfEnvSpec, state: menv.EnvState,
 
 def make_batch_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
                        do_sample: bool = True,
-                       policy_batch: int | None = None) -> Callable:
+                       policy_batch: int | None = None,
+                       mask_cfg: MaskConfig | None = None) -> Callable:
     """Build a jitted full-episode runner over a batch of env instances.
 
     Returns run(params, states, key) -> (final_states, EpisodeMetrics) where
@@ -93,7 +102,8 @@ def make_batch_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
 
         def step_once(carry, _):
             sts, k = carry
-            tokens = jax.vmap(_tokens_of)(sts)          # [B, A, 256]
+            tokens = jax.vmap(
+                partial(_tokens_of, mask_cfg=mask_cfg))(sts)  # [B, A, 256]
             logits = policy(params, tokens.reshape(b * a, -1))
             k, sub = jax.random.split(k)
             actions = act(logits, sub, do_sample=do_sample)
@@ -115,7 +125,8 @@ def batch_reset(spec: menv.MapfEnvSpec, grids, starts, goals_queues, actives):
 
 
 def make_recorded_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
-                          do_sample: bool = True) -> Callable:
+                          do_sample: bool = True,
+                          mask_cfg: MaskConfig | None = None) -> Callable:
     """Single-instance episode runner that also records the trajectory.
 
     Returns run(params, state, key) -> (final_state, metrics,
@@ -128,7 +139,7 @@ def make_recorded_rollout(spec: menv.MapfEnvSpec, cfg: GPTConfig,
     def run(params, state, key):
         def step_once(carry, _):
             st, k = carry
-            logits = forward(params, _tokens_of(st))
+            logits = forward(params, _tokens_of(st, mask_cfg=mask_cfg))
             k, sub = jax.random.split(k)
             actions = act(logits, sub, do_sample=do_sample)
             st2 = menv.step(spec, st, actions.astype(jnp.int32))
