@@ -272,6 +272,37 @@ def warehouse_grid(
     return grid
 
 
+def city_grid(size: int = 256, seed: int = 0) -> np.ndarray:
+    """City-like map in the style of the MovingAI street benchmarks
+    (Berlin_1_256 class): irregular building blocks separated by a connected
+    street lattice, ~45-55 % obstacle density.  The actual MovingAI maps are
+    not redistributable here (no egress), so the 256x256 tier (BASELINE
+    gate 4) is exercised on this procedural stand-in; the eval path accepts
+    real ``.map`` files via :meth:`MapRegistry.load_movingai` unchanged."""
+    rng = np.random.RandomState(seed & 0xFFFFFFFF)
+    grid = np.ones((size, size), dtype=bool)
+    # carve a street lattice at irregular intervals (connected by crossing)
+    def cuts(n):
+        xs, x = [0], 0
+        while x < n - 4:
+            x += rng.randint(7, 18)
+            xs.append(min(x, n - 2))
+        return xs
+    for i in cuts(size):
+        grid[i:i + rng.randint(2, 4), :] = False
+    for j in cuts(size):
+        grid[:, j:j + rng.randint(2, 4)] = False
+    # open plazas / parks
+    for _ in range(size // 16):
+        i, j = rng.randint(0, size - 12, size=2)
+        grid[i:i + rng.randint(4, 12), j:j + rng.randint(4, 12)] = False
+    # punch courtyard gaps into some blocks (stay connected via streets)
+    for _ in range(size // 4):
+        i, j = rng.randint(0, size - 4, size=2)
+        grid[i:i + 2, j:j + 2] = False
+    return grid
+
+
 # --------------------------------------------------------------------------
 # Instance building: start/goal placement
 # --------------------------------------------------------------------------

@@ -147,12 +147,14 @@ def stack_block_weights(params: Any, cfg) -> dict:
 
 
 def default_ctx_per_program(cfg) -> int:
-    """Contexts per program, sized against the ~16 MB scoped-VMEM stack
-    (measured on v5e: 2M/E=160 fits C=8 standalone but overflows by ~0.2 MB
-    when the kernel sits inside a rollout while-loop body, so 6; 6M/E=256
-    fits C=4, 85M/E=768 fits C=2 with 3-layer chunking)."""
+    """Contexts per program.  Since _blocks_call bids its measured working
+    set as vmem_limit_bytes (instead of the default ~16 MB scoped budget),
+    larger tiles fit: 2M/E=160 runs C=16 inside a rollout scan (measured
+    v5e: 140 -> 130 ms at 8192x256, fewer program launches); 6M/E=256 keeps
+    C=4 and 85M/E=768 C=2 with 3-layer chunking (weight stacks dominate
+    their VMEM budget)."""
     if cfg.n_embd <= 192:
-        return 6
+        return 16
     if cfg.n_embd <= 384:
         return 4
     return 2

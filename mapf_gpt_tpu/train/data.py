@@ -34,21 +34,31 @@ class ArrowShardStream:
     def __init__(self, path: str, batch_size: int, grad_accum: int = 1,
                  process_index: int = 0, process_count: int = 1,
                  seed: int = 1337, context: int = 256):
-        if os.path.isdir(path):
-            files = sorted(glob.glob(os.path.join(path, "*.arrow")))
-        else:
-            files = [path]
-        if not files:
+        self._path = path
+        self._process_index = process_index
+        self._process_count = process_count
+        self.files = self._scan()
+        if not self.files:
             raise FileNotFoundError(f"no .arrow shards under {path}")
-        # contiguous split by global process index
-        per = max(len(files) // process_count, 1)
-        lo = process_index * per
-        hi = len(files) if process_index == process_count - 1 else lo + per
-        self.files = files[lo:hi] or files[:1]
         self.batch_size = batch_size
         self.grad_accum = grad_accum
         self.context = context
         self.rng = np.random.RandomState(seed + process_index)
+
+    def _scan(self) -> list:
+        """List this process's shard slice; re-run each epoch so shards
+        written by a concurrently-running generator join the stream at the
+        next epoch boundary (contiguous split by global process index —
+        the reference splits by LOCAL_RANK, ref:fast_data_loader.py:20-28)."""
+        if os.path.isdir(self._path):
+            files = sorted(glob.glob(os.path.join(self._path, "*.arrow")))
+        else:
+            files = [self._path]
+        per = max(len(files) // self._process_count, 1)
+        lo = self._process_index * per
+        hi = (len(files) if self._process_index == self._process_count - 1
+              else lo + per)
+        return files[lo:hi] or files[:1]
 
     def _load_file(self, path: str) -> tuple[np.ndarray, np.ndarray]:
         import pyarrow as pa
@@ -67,6 +77,7 @@ class ArrowShardStream:
         """Yields (tokens int32 [accum, B, 256], targets int32 [accum, B])."""
         need = self.batch_size * self.grad_accum
         while True:
+            self.files = self._scan() or self.files
             order = self.rng.permutation(len(self.files))
             for fi in order:
                 tokens, actions = self._load_file(self.files[fi])
