@@ -10,7 +10,12 @@ Baseline: the reference pipeline has no published numbers (BASELINE.md); for
 ``vs_baseline`` we measure the reference's own architecture — per-step C++
 observation generator + torch GPT forward — on this host's CPU (the only
 reference-supported device present) over the same workload, and cache the
-result in ``.bench_baseline.json``.
+result in ``.bench_baseline.json``.  The baseline is an extrapolation from
+8 envs x 16 steps (the full workload would take hours on CPU) and is
+re-measured only when the cache file is absent — so ``vs_baseline`` ratios
+are comparable *within* a round but may shift between rounds when the cache
+is cleared and host load differs (r01's 623.8x vs r02's 586.7x at a higher
+absolute value was exactly this re-measurement artifact, not a regression).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -147,14 +147,21 @@ def stack_block_weights(params: Any, cfg) -> dict:
 
 
 def default_ctx_per_program(cfg) -> int:
-    """Contexts per program.  Since _blocks_call bids its measured working
-    set as vmem_limit_bytes (instead of the default ~16 MB scoped budget),
-    larger tiles fit: 2M/E=160 runs C=16 inside a rollout scan (measured
-    v5e: 140 -> 130 ms at 8192x256, fewer program launches); 6M/E=256 keeps
-    C=4 and 85M/E=768 C=2 with 3-layer chunking (weight stacks dominate
-    their VMEM budget)."""
+    """Contexts per program, sized against the scoped-VMEM stack.
+
+    Larger tiles fit thanks to the custom vmem bid in _blocks_call, and run
+    slightly faster (2M at 8192x256 contexts on v5e: C=6 140 ms -> C=16
+    130 ms) — but Mosaic compile time grows ~5x with the tile, which
+    multiplies across the eval harness's per-shape-tier compiles.  C=6 is
+    the compile-time/runtime sweet spot; set MAPF_GPT_TPU_CTX to override
+    (e.g. 16 for long steady-state rollouts that amortize one compile)."""
+    import os
+
+    env = os.environ.get("MAPF_GPT_TPU_CTX")
+    if env:
+        return int(env)
     if cfg.n_embd <= 192:
-        return 16
+        return 6
     if cfg.n_embd <= 384:
         return 4
     return 2
