@@ -32,7 +32,7 @@ def main(argv=None):
     p.add_argument("--argmax", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--policy-batch", type=int, default=8192)
-    p.add_argument("--max-contexts", type=int, default=32768)
+    p.add_argument("--max-contexts", type=int, default=12288)
     args = p.parse_args(argv)
 
     from mapf_gpt_tpu.eval import run as eval_run

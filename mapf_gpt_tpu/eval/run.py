@@ -131,8 +131,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--policy-batch", type=int, default=8192,
                    help="microbatch the per-step policy forward (0 = off)")
-    p.add_argument("--max-contexts", type=int, default=32768,
-                   help="cap env x agent contexts per device batch")
+    p.add_argument("--max-contexts", type=int, default=12288,
+                   help="cap env x agent contexts per device batch "
+                        "(>~16k contexts reproducibly crashed the v5e "
+                        "worker on warehouse A=160 x 128-env batches — a "
+                        "device fault, not an XLA error; 12288 is the "
+                        "proven-safe envelope)")
     args = p.parse_args(argv)
 
     suite_name = os.path.basename(os.path.normpath(args.suite))
