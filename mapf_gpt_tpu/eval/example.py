@@ -31,7 +31,9 @@ def main(argv=None):
     p.add_argument("--max-episode-steps", type=int, default=128)
     p.add_argument("--weights", default=None)
     p.add_argument("--model", default=None, choices=[None, *CONFIGS])
-    p.add_argument("--random-init", default="2M", choices=list(CONFIGS))
+    # default None so --weights wins; load_policy prefers random_init when
+    # set (a "2M" default here silently discarded --weights)
+    p.add_argument("--random-init", default=None, choices=list(CONFIGS))
     p.add_argument("--argmax", action="store_true")
     p.add_argument("--svg", default="out/episode.svg")
     args = p.parse_args(argv)
