@@ -275,7 +275,8 @@ def warehouse_grid(
 def city_grid(size: int = 256, seed: int = 0) -> np.ndarray:
     """City-like map in the style of the MovingAI street benchmarks
     (Berlin_1_256 class): irregular building blocks separated by a connected
-    street lattice, ~45-55 % obstacle density.  The actual MovingAI maps are
+    street lattice, ~50-60 % obstacle density (default seed: 57 %).  The
+    actual MovingAI maps are
     not redistributable here (no egress), so the 256x256 tier (BASELINE
     gate 4) is exercised on this procedural stand-in; the eval path accepts
     real ``.map`` files via :meth:`MapRegistry.load_movingai` unchanged."""
@@ -296,7 +297,10 @@ def city_grid(size: int = 256, seed: int = 0) -> np.ndarray:
     for _ in range(size // 16):
         i, j = rng.randint(0, size - 12, size=2)
         grid[i:i + rng.randint(4, 12), j:j + rng.randint(4, 12)] = False
-    # punch courtyard gaps into some blocks (stay connected via streets)
+    # punch small 2x2 courtyard gaps into some blocks; gaps inside a solid
+    # block are disconnected free cells by design — sample_instance places
+    # each agent's start and goal in the same connected component, so they
+    # act as map texture, never as unreachable goals
     for _ in range(size // 4):
         i, j = rng.randint(0, size - 4, size=2)
         grid[i:i + 2, j:j + 2] = False

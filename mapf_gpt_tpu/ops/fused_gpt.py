@@ -159,7 +159,21 @@ def default_ctx_per_program(cfg) -> int:
 
     env = os.environ.get("MAPF_GPT_TPU_CTX")
     if env:
-        return int(env)
+        try:
+            ctx = int(env)
+        except ValueError:
+            raise ValueError(
+                f"MAPF_GPT_TPU_CTX={env!r} is not an integer; set it to the "
+                "number of contexts per pallas program (e.g. 6 or 16)")
+        if ctx < 1:
+            raise ValueError(f"MAPF_GPT_TPU_CTX={ctx} must be >= 1")
+        # the override is global to the process; cap it against this config's
+        # VMEM envelope so a value tuned for the 2M shape can't blow the
+        # budget when a 6M/85M model compiles in the same process
+        cap = {True: 24, False: 8}[cfg.n_embd <= 192]
+        if cfg.n_embd > 384:
+            cap = 4
+        return min(ctx, cap)
     if cfg.n_embd <= 192:
         return 6
     if cfg.n_embd <= 384:

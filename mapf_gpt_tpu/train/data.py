@@ -37,6 +37,7 @@ class ArrowShardStream:
         self._path = path
         self._process_index = process_index
         self._process_count = process_count
+        self._initial_count = None  # pinned on first scan (slice stability)
         self.files = self._scan()
         if not self.files:
             raise FileNotFoundError(f"no .arrow shards under {path}")
@@ -54,11 +55,21 @@ class ArrowShardStream:
             files = sorted(glob.glob(os.path.join(self._path, "*.arrow")))
         else:
             files = [self._path]
-        per = max(len(files) // self._process_count, 1)
+        # pin the contiguous-split boundaries to the file count seen at init
+        # so later rescans (shard count growing under a concurrent generator)
+        # never shift another process's slice; files appearing after init are
+        # dealt round-robin by index, which is stable across rescans too
+        if self._initial_count is None:
+            self._initial_count = len(files)
+        base = files[:self._initial_count]
+        per = max(len(base) // self._process_count, 1)
         lo = self._process_index * per
-        hi = (len(files) if self._process_index == self._process_count - 1
+        hi = (len(base) if self._process_index == self._process_count - 1
               else lo + per)
-        return files[lo:hi] or files[:1]
+        mine = base[lo:hi] or base[:1]
+        mine += [f for i, f in enumerate(files[self._initial_count:])
+                 if i % self._process_count == self._process_index]
+        return mine
 
     def _load_file(self, path: str) -> tuple[np.ndarray, np.ndarray]:
         import pyarrow as pa
@@ -106,6 +117,11 @@ def write_arrow_shard(path: str, tokens: np.ndarray,
                                              type=pa.int8()))
     table = pa.table({"input_tensors": larr,
                       "gt_actions": pa.array(actions, type=pa.int8())})
-    with pa.OSFile(path, "wb") as sink:
+    # write to a temp name and atomically rename so a concurrently-running
+    # trainer's epoch re-scan (ArrowShardStream._scan globs *.arrow) never
+    # memory-maps a partially-written shard
+    tmp = path + ".tmp"
+    with pa.OSFile(tmp, "wb") as sink:
         with pa.ipc.new_file(sink, table.schema) as writer:
             writer.write_table(table)
+    os.rename(tmp, path)

@@ -80,6 +80,50 @@ def test_process_sharding_of_files(tmp_path):
         str(tmp_path / f"c_{i}.arrow") for i in range(4))
 
 
+def test_rescan_slices_stay_stable_as_shards_grow(tmp_path):
+    """Shards written after init join the stream without shifting the
+    initial contiguous slice boundaries (advisor r3: boundary drift under a
+    concurrent generator caused transient overlap/skip between processes)."""
+    for i in range(4):
+        write_arrow_shard(str(tmp_path / f"c_{i}.arrow"),
+                          np.zeros((8, 256), dtype=np.int8) + i,
+                          np.zeros((8,), dtype=np.int8))
+    s0 = ArrowShardStream(str(tmp_path), 4, process_index=0, process_count=2)
+    s1 = ArrowShardStream(str(tmp_path), 4, process_index=1, process_count=2)
+    base0, base1 = list(s0.files), list(s1.files)
+    for i in range(4, 7):  # generator keeps writing
+        write_arrow_shard(str(tmp_path / f"c_{i}.arrow"),
+                          np.zeros((8, 256), dtype=np.int8) + i,
+                          np.zeros((8,), dtype=np.int8))
+    f0, f1 = s0._scan(), s1._scan()
+    # original slices unchanged, new files dealt disjointly and completely
+    assert f0[:len(base0)] == base0 and f1[:len(base1)] == base1
+    assert set(f0).isdisjoint(f1)
+    assert sorted(f0 + f1) == sorted(
+        str(tmp_path / f"c_{i}.arrow") for i in range(7))
+
+
+def test_write_arrow_shard_is_atomic(tmp_path, monkeypatch):
+    """The shard appears under its final name only after a complete write
+    (temp-name + rename), so a concurrent reader's glob never sees a
+    partially-written file."""
+    import mapf_gpt_tpu.train.data as data_mod
+
+    seen_at_rename = []
+    real_rename = os.rename
+
+    def spy(src, dst):
+        seen_at_rename.append((os.path.exists(dst), src.endswith(".tmp")))
+        real_rename(src, dst)
+
+    monkeypatch.setattr(data_mod.os, "rename", spy)
+    path = str(tmp_path / "chunk_0_part_0.arrow")
+    write_arrow_shard(path, np.zeros((8, 256), dtype=np.int8),
+                      np.zeros((8,), dtype=np.int8))
+    assert seen_at_rename == [(False, True)]
+    assert os.path.exists(path) and not os.path.exists(path + ".tmp")
+
+
 def test_checkpoint_round_trip(tmp_path):
     tc = TrainConfig(grad_accum=1)
     params = init_params(CFG, jax.random.PRNGKey(0))
