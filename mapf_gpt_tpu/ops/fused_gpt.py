@@ -76,6 +76,56 @@ def _block_kernel(x_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref,
     dh = e // heads
     x = x_ref[...].reshape(ctx * t, e)
     for l in range(layers):
+        if last_only and l == layers - 1:
+            # ---- thinned final layer: the caller only reads position t-1,
+            # and earlier layers are the only consumers of the other
+            # positions — so compute K/V over all positions but Q, attention,
+            # projection and MLP for the last TL positions of each context
+            # only (TL=8, one sublane tile: Mosaic can't relayout unit-dim
+            # shape casts, and an 8-row tail costs the same as a 1-row one).
+            # Saves ~1/L of the kernel's dense work (2M: 5 layers -> ~20 %).
+            tl = min(8, t)
+            xn = _ln_f32(x.astype(jnp.float32),
+                         g1_ref[l][None, :]).astype(jnp.bfloat16)
+            kv = jnp.dot(xn, wqkv_ref[l][:, e:],
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.bfloat16)              # [ctx*t, 2e]
+            xl = x.reshape(ctx, t, e)[:, t - tl:, :].reshape(ctx * tl, e)
+            qn = xn.reshape(ctx, t, e)[:, t - tl:, :].reshape(ctx * tl, e)
+            q = jnp.dot(qn, wqkv_ref[l][:, :e],
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)               # [ctx*tl, e]
+            att = []
+            for h in range(heads):
+                qh = q[:, h * dh:(h + 1) * dh].reshape(ctx, tl, dh)
+                kh = kv[:, h * dh:(h + 1) * dh].reshape(ctx, t, dh)
+                vh = kv[:, e + h * dh:e + (h + 1) * dh].reshape(ctx, t, dh)
+                s2 = jax.lax.dot_general(
+                    qh, kh, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)      # [ctx, tl, t]
+                ex = jnp.exp2(jnp.minimum(s2, _EXP2_CLAMP)
+                              ).astype(jnp.bfloat16)
+                denom = jnp.sum(ex.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+                a = jax.lax.dot_general(
+                    ex, vh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)      # [ctx, tl, dh]
+                att.append((a * (1.0 / denom)
+                            ).reshape(ctx * tl, dh).astype(jnp.bfloat16))
+            xl = xl + jnp.dot(jnp.concatenate(att, axis=-1), wproj_ref[l],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)
+            xn2 = _ln_f32(xl.astype(jnp.float32),
+                          g2_ref[l][None, :]).astype(jnp.bfloat16)
+            hmid = jnp.dot(xn2, wfc_ref[l],
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+            hact = jax.nn.gelu(hmid, approximate=True)
+            xl = xl + jnp.dot(hact, wfc2_ref[l],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)
+            o_ref[...] = xl.reshape(ctx, tl, e)[:, tl - 1:tl, :]
+            return
         xn = _ln_f32(x.astype(jnp.float32),
                      g1_ref[l][None, :]).astype(jnp.bfloat16)
         qkv_s[...] = jnp.dot(xn, wqkv_ref[l],
@@ -111,10 +161,7 @@ def _block_kernel(x_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref,
         x = x + jnp.dot(hact, wfc2_ref[l],
                         preferred_element_type=jnp.float32
                         ).astype(jnp.bfloat16)
-    if last_only:
-        o_ref[...] = x.reshape(ctx, t, e)[:, t - 1:t, :]
-    else:
-        o_ref[...] = x.reshape(ctx, t, e)
+    o_ref[...] = x.reshape(ctx, t, e)
 
 
 def stack_block_weights(params: Any, cfg) -> dict:
@@ -149,12 +196,12 @@ def stack_block_weights(params: Any, cfg) -> dict:
 def default_ctx_per_program(cfg) -> int:
     """Contexts per program, sized against the scoped-VMEM stack.
 
-    Larger tiles fit thanks to the custom vmem bid in _blocks_call, and run
-    slightly faster (2M at 8192x256 contexts on v5e: C=6 140 ms -> C=16
-    130 ms) — but Mosaic compile time grows ~5x with the tile, which
-    multiplies across the eval harness's per-shape-tier compiles.  C=6 is
-    the compile-time/runtime sweet spot; set MAPF_GPT_TPU_CTX to override
-    (e.g. 16 for long steady-state rollouts that amortize one compile)."""
+    Larger tiles fit thanks to the custom vmem bid in _blocks_call and run
+    slightly faster, but Mosaic compile time grows ~5x from C=8 to C=16,
+    which multiplies across the eval harness's per-shape-tier compiles.
+    C=8 is the compile-time/runtime sweet spot (and divides the 8192-context
+    bench batch, avoiding the XLA pad copy of the embedded activations that
+    C=6 forced); set MAPF_GPT_TPU_CTX to override."""
     import os
 
     env = os.environ.get("MAPF_GPT_TPU_CTX")
@@ -175,7 +222,7 @@ def default_ctx_per_program(cfg) -> int:
             cap = 4
         return min(ctx, cap)
     if cfg.n_embd <= 192:
-        return 6
+        return 8   # divides the bench/eval batch shapes -> no pad copy
     if cfg.n_embd <= 384:
         return 4
     return 2

@@ -33,18 +33,40 @@ import jax.numpy as jnp
 from mapf_gpt_tpu.ops import vocab as V
 
 
-def _c2g_window_tokens(c2g: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """11x11 egocentric cost2go tokens. c2g: int32 [A,H,W]; pos: int32 [A,2].
+def _c2g_windows(c2g: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Raw 11x11 egocentric cost2go windows. c2g: int32 [A,H,W]; pos [A,2].
 
-    Returns int32 [A, 121].
+    Extracted with two batched one-hot matmuls instead of per-agent
+    ``dynamic_slice``: the vmapped slice lowers to a scalar-indexed gather
+    that costs ~18 ms/step at the bench shape (B=256, A=32), while the
+    selector matmuls run on the MXU in ~1 ms.  Agents always sit >= radius
+    cells from the array edge (maps carry a C2G_RADIUS obstacle border), so
+    the one-hot rows always hit.  fp32 is exact for the int32 distance
+    values involved (< 2^24).  Returns int32 [A, 11, 11].
     """
+    a, hgt, wid = c2g.shape
+    r = V.C2G_RADIUS
+    offs = jnp.arange(-r, r + 1, dtype=jnp.int32)
+    rows = pos[:, 0:1] + offs[None, :]                     # [A, 11]
+    cols = pos[:, 1:2] + offs[None, :]
+    rsel = (rows[:, :, None] ==
+            jnp.arange(hgt, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.float32)                          # [A, 11, H]
+    csel = (cols[:, :, None] ==
+            jnp.arange(wid, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.float32)                          # [A, 11, W]
+    rw = jax.lax.dot_general(rsel, c2g.astype(jnp.float32),
+                             (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # [A, 11, W]
+    win = jax.lax.dot_general(rw, csel, (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)  # [A,11,11]
+    return win.astype(jnp.int32)
+
+
+def _c2g_window_tokens(windows: jnp.ndarray) -> jnp.ndarray:
+    """11x11 windows -> egocentric cost2go tokens, int32 [A, 121]."""
     r = V.C2G_RADIUS
     win = V.C2G_WINDOW
-
-    def one(field, p):
-        return jax.lax.dynamic_slice(field, (p[0] - r, p[1] - r), (win, win))
-
-    windows = jax.vmap(one)(c2g, pos)                      # [A, 11, 11]
     center = windows[:, r, r][:, None, None]
     delta = windows - center
     tok = jnp.where(
@@ -54,17 +76,16 @@ def _c2g_window_tokens(c2g: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return tok.reshape(windows.shape[0], win * win).astype(jnp.int32)
 
 
-def _greedy_tokens(c2g: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Greedy next-action 4-bit mask token per agent. Returns int32 [A]."""
-    moves = jnp.asarray(V.GREEDY_MOVES, dtype=jnp.int32)   # [4, 2]
-    nbr = pos[:, None, :] + moves[None, :, :]              # [A, 4, 2]
-
-    def one(field, p, nbrs):
-        cur = field[p[0], p[1]]
-        nv = field[nbrs[:, 0], nbrs[:, 1]]
-        return jnp.logical_and(nv >= 0, cur > nv)
-
-    bits = jax.vmap(one)(c2g, pos, nbr)                    # [A, 4] bool, u d l r
+def _greedy_tokens(windows: jnp.ndarray) -> jnp.ndarray:
+    """Greedy next-action 4-bit mask token per agent from the extracted
+    windows (the 4 neighbors of the window center ARE the neighbor cells —
+    no extra field gather).  Returns int32 [A]."""
+    r = V.C2G_RADIUS
+    cur = windows[:, r, r]
+    # order u d l r matching V.GREEDY_MOVES = ((-1,0),(1,0),(0,-1),(0,1))
+    nv = jnp.stack([windows[:, r - 1, r], windows[:, r + 1, r],
+                    windows[:, r, r - 1], windows[:, r, r + 1]], axis=1)
+    bits = jnp.logical_and(nv >= 0, cur[:, None] > nv)     # [A, 4]
     weights = jnp.asarray([8, 4, 2, 1], dtype=jnp.int32)
     return V.ID_NEXT_ACTION_BASE + jnp.sum(bits * weights, axis=1)
 
@@ -104,8 +125,9 @@ def observe(c2g: jnp.ndarray, pos: jnp.ndarray, goal: jnp.ndarray,
       int32 [A, 256] token contexts.
     """
     a = pos.shape[0]
-    c2g_tok = _c2g_window_tokens(c2g, pos)                 # [A, 121]
-    greedy_tok = _greedy_tokens(c2g, pos)                  # [A]
+    windows = _c2g_windows(c2g, pos)                       # [A, 11, 11]
+    c2g_tok = _c2g_window_tokens(windows)                  # [A, 121]
+    greedy_tok = _greedy_tokens(windows)                   # [A]
     hist_tok = V.ID_ACTION_BASE + hist                     # [A, P]
 
     idx, valid = _neighbor_indices(pos, active)            # [A, 13]
