@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from mapf_gpt_tpu.envs.dynamics import step_positions
@@ -68,6 +69,18 @@ class MapfEnvSpec(NamedTuple):
     max_episode_steps: int = 128
     on_target: str = "nothing"   # "nothing" | "restart"
     num_queued_goals: int = 1    # K; >1 only used with on_target="restart"
+    c2g_chunk: int = 0        # reset-sweep chunking: compute the A*K cost2go
+                              # fields `c2g_chunk` goals at a time (0 = all at
+                              # once).  The dense per-goal cache itself fits
+                              # HBM even at warehouse scale (K=16: ~20 MiB/env)
+                              # — it is the *sweep intermediates* of an
+                              # all-A*K-at-once relaxation that OOM large
+                              # lifelong batches at reset compile; chunking
+                              # bounds them while keeping steady-state steps
+                              # pure gathers (no per-step recompute, unlike
+                              # the reference's on-demand Cost2GoPartial,
+                              # ref:mapf_gpt/observation_generator.cpp:432-485,
+                              # which exists to bound host CPU memory)
 
 
 def reset(spec: MapfEnvSpec, grid: jnp.ndarray, starts: jnp.ndarray,
@@ -79,7 +92,21 @@ def reset(spec: MapfEnvSpec, grid: jnp.ndarray, starts: jnp.ndarray,
     free cells; they never move and are masked out of observations.
     """
     a, k = spec.num_agents, spec.num_queued_goals
-    c2g = cost2go_device(grid, goals_queue.reshape(a * k, 2))
+    goals_flat = goals_queue.reshape(a * k, 2).astype(jnp.int32)
+    chunk = spec.c2g_chunk
+    if chunk and chunk < a * k:
+        # bound the relaxation-sweep intermediates: lax.map serializes the
+        # sweeps over goal chunks (see MapfEnvSpec.c2g_chunk)
+        n = a * k
+        pad = (-n) % chunk
+        if pad:
+            goals_flat = jnp.concatenate(
+                [goals_flat, jnp.zeros((pad, 2), jnp.int32)], axis=0)
+        c2g = jax.lax.map(lambda g: cost2go_device(grid, g),
+                          goals_flat.reshape(-1, chunk, 2))
+        c2g = c2g.reshape(-1, spec.height, spec.width)[:n]
+    else:
+        c2g = cost2go_device(grid, goals_flat)
     c2g = c2g.reshape(a, k, spec.height, spec.width)
     on_goal = jnp.all(starts == goals_queue[:, 0], axis=-1)
     return EnvState(

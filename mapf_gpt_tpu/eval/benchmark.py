@@ -27,6 +27,14 @@ def main(argv=None):
     p.add_argument("--weights", default=None)
     p.add_argument("--model", default=None)
     p.add_argument("--random-init", default=None)
+    p.add_argument("--algo", default=None,
+                   help="key into each suite yaml's algorithms block "
+                        "(passed through to eval.run)")
+    p.add_argument("--weights-root", default=None,
+                   help="directory to resolve yaml path_to_weights in")
+    p.add_argument("--mask", nargs="*", default=None,
+                   help="input ablations, passed through to eval.run")
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--batch-envs", type=int, default=128)
     p.add_argument("--out-dir", default="results")
     p.add_argument("--argmax", action="store_true")
@@ -53,6 +61,14 @@ def main(argv=None):
             argv2 += ["--model", args.model]
         if args.random_init:
             argv2 += ["--random-init", args.random_init]
+        if args.algo:
+            argv2 += ["--algo", args.algo]
+        if args.weights_root:
+            argv2 += ["--weights-root", args.weights_root]
+        if args.mask:
+            argv2 += ["--mask", *args.mask]
+        if args.seed is not None:
+            argv2 += ["--seed", str(args.seed)]
         if args.argmax:
             argv2 += ["--argmax"]
         if args.limit:

@@ -165,10 +165,17 @@ class Evaluator:
 
         th, tw, _, max_steps, on_target, kq = spec_key
         if spec_key not in self._runners:
+            # lifelong batches build A*K cost2go fields at reset; chunk the
+            # relaxation sweep so its intermediates stay bounded at any
+            # batch size (the 128-env warehouse K=16 reset OOM'd unchunked;
+            # see MapfEnvSpec.c2g_chunk)
+            chunk = (max(kq, 8192 // max(1, self.batch_envs))
+                     if kq > 1 else 0)
             env_spec = MapfEnvSpec(height=th, width=tw, num_agents=slots,
                                    max_episode_steps=max_steps,
                                    on_target=on_target,
-                                   num_queued_goals=kq)
+                                   num_queued_goals=kq,
+                                   c2g_chunk=chunk)
             run = make_batch_rollout(env_spec, self.model_cfg,
                                      do_sample=self.do_sample,
                                      policy_batch=self.policy_batch,

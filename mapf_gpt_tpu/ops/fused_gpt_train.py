@@ -303,6 +303,16 @@ def _fwd_call(stacks, x, cfg, ctx, interpret, last_only=True):
     out_t = 1 if last_only else t
     out_shapes = (jax.ShapeDtypeStruct((nc, out_t, e), jnp.bfloat16),
                   jax.ShapeDtypeStruct((2 * L, nc, t, e), jnp.bfloat16))
+    # bid the measured working set (weights + double-buffered x/xsave tiles +
+    # scratch + headroom): the 2M shape sits ~0.4 MB over the default 16 MB
+    # scoped-vmem limit, which is a compile error, not a fallback
+    weight_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize
+                       for s in stacks)
+    tile_bytes = 2 * (ctx * t * e * 2 + 2 * L * ctx * t * e * 2 +
+                      ctx * out_t * e * 2)
+    scratch_bytes = ctx * t * 4 * e * 2
+    vmem_limit = min(int(1.5 * (weight_bytes + tile_bytes + scratch_bytes))
+                     + 8 * 2 ** 20, 110 * 2 ** 20)
     xl, xsave = pl.pallas_call(
         kern,
         grid=(nc // ctx,),
@@ -316,6 +326,7 @@ def _fwd_call(stacks, x, cfg, ctx, interpret, last_only=True):
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((ctx * t, 3 * e), jnp.bfloat16),
                         pltpu.VMEM((ctx * t, e), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(x, *stacks)
     return (xl[:, 0, :] if last_only else xl), xsave

@@ -165,3 +165,27 @@ class TestLifelongThroughput:
                            goals_queue, jnp.ones((1,), dtype=bool))
         state = menv.step(spec, state, jnp.asarray([A_RIGHT]))
         assert float(episode_metrics(state).throughput) == 0.0
+
+
+def test_chunked_c2g_reset_matches_unchunked():
+    """MapfEnvSpec.c2g_chunk bounds the reset-sweep intermediates without
+    changing the fields: chunked == unchunked bit-for-bit, including a chunk
+    size that does not divide A*K (padding path)."""
+    from mapf_gpt_tpu.maps import maze_grid, sample_instance
+
+    inst = sample_instance(maze_grid(9, seed=3), 3, seed=3,
+                           num_lifelong_goals=4)
+    h, w = inst.grid.shape
+    grid = jnp.asarray(inst.grid)
+    starts = jnp.asarray(inst.starts)
+    goals = jnp.asarray(inst.lifelong_goals)          # [3, 4, 2]
+    active = jnp.ones((3,), dtype=bool)
+    base = menv.MapfEnvSpec(height=h, width=w, num_agents=3,
+                            max_episode_steps=8, on_target="restart",
+                            num_queued_goals=4)
+    dense = menv.reset(base, grid, starts, goals, active)
+    for chunk in (1, 4, 5):  # 5 does not divide 12 -> exercises the pad
+        spec = base._replace(c2g_chunk=chunk)
+        chunked = menv.reset(spec, grid, starts, goals, active)
+        np.testing.assert_array_equal(np.asarray(dense.c2g),
+                                      np.asarray(chunked.c2g))

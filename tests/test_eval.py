@@ -237,6 +237,42 @@ def test_resolve_algorithm_block():
         resolve_algorithm(suite_cfg, args)
 
 
+def test_benchmark_cli_passthrough(monkeypatch, tmp_path):
+    """benchmark.py forwards --algo/--mask/--weights-root/--seed to eval.run
+    (advisor r3: suite-yaml algorithm configs and ablations could only be
+    driven suite-by-suite)."""
+    import os
+
+    from mapf_gpt_tpu.eval import benchmark as bm
+    from mapf_gpt_tpu.eval import run as eval_run
+
+    # fake suite dir so the loop body executes
+    suite = tmp_path / "01-random"
+    suite.mkdir()
+    (tmp_path / "results" / "01-random").mkdir(parents=True)
+
+    captured = []
+    monkeypatch.setattr(eval_run, "main", lambda argv: captured.append(argv))
+    bm.main(["--configs-root", str(tmp_path), "--suites", "01-random",
+             "--out-dir", str(tmp_path / "results"),
+             "--algo", "MAPF-GPT-2M", "--weights-root", "/w",
+             "--mask", "greed_action", "cost2go", "--seed", "7",
+             "--argmax", "--limit", "3"])
+    assert len(captured) == 1
+    argv = captured[0]
+
+    def val(flag):
+        return argv[argv.index(flag) + 1]
+
+    assert val("--algo") == "MAPF-GPT-2M"
+    assert val("--weights-root") == "/w"
+    assert val("--seed") == "7"
+    mi = argv.index("--mask")
+    assert argv[mi + 1:mi + 3] == ["greed_action", "cost2go"]
+    assert "--argmax" in argv and val("--limit") == "3"
+    assert os.path.basename(val("--suite")) == "01-random"
+
+
 def test_runtime_metric_execution_only():
     """runtime rows are positive, shared within a chunk, and come from the
     AOT-compiled execution (compile time excluded)."""
