@@ -14,7 +14,10 @@ policy microbatching all at once.
 Reassembles the full map from the reference suite's tiles
 (maps.MapRegistry.stitch_tiles), runs batched episodes through the standard
 Evaluator, and prints env-steps/s plus device-memory stats; writes the eval
-rows as a results artifact.
+rows as a results artifact.  When the map is not in the suite (or the suite
+is absent), ``--map city-256 --procedural`` runs the procedural
+:func:`mapf_gpt_tpu.maps.city_grid` stand-in; a real MovingAI ``.map`` file
+path also works (this absorbs the former eval/bench_large.py).
 """
 
 from __future__ import annotations
@@ -44,13 +47,31 @@ def main(argv=None):
     p.add_argument("--policy-batch", type=int, default=8192)
     p.add_argument("--out-dir", default="results")
     p.add_argument("--argmax", action="store_true")
+    p.add_argument("--procedural", action="store_true",
+                   help="use the procedural city_grid stand-in (size parsed "
+                        "from a 'city-<N>' --map name, default 256)")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     import jax
 
     reg = MapRegistry()
-    reg.load_reference_suite(args.suite)
-    grid = reg.stitch_tiles(args.map)
+    if args.procedural:
+        from mapf_gpt_tpu.maps import city_grid
+
+        size = int(args.map.rsplit("-", 1)[1]) if "-" in args.map else 256
+        grid = city_grid(size, seed=args.seed)
+        reg.register(args.map, grid)
+    elif os.path.isfile(args.map):  # a real MovingAI .map file
+        from mapf_gpt_tpu.maps import parse_movingai_map
+
+        with open(args.map) as f:
+            grid = parse_movingai_map(f.read())
+        args.map = os.path.splitext(os.path.basename(args.map))[0]
+        reg.register(args.map, grid)
+    else:
+        reg.load_reference_suite(args.suite)
+        grid = reg.stitch_tiles(args.map)   # registers under args.map
     print(f"{args.map}: {grid.shape[0]}x{grid.shape[1]}, "
           f"obstacle density {grid.mean():.3f}")
 
