@@ -69,12 +69,13 @@ def _ln_f32(x_f32: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
     return (xc * jax.lax.rsqrt(var + _EPS)) * gain
 
 
-def _block_kernel(x_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref,
-                  g1_ref, g2_ref, o_ref, qkv_s, att_s, *,
-                  layers: int, heads: int, ctx: int, t: int, e: int,
-                  last_only: bool):
+def _run_layers(x, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref, g1_ref, g2_ref,
+                qkv_s, att_s, *, layers: int, heads: int, ctx: int, t: int,
+                e: int, last_only: bool):
+    """Transformer stack on x [ctx*t, e] bf16.  Returns the full stream
+    [ctx*t, e], or — when last_only — the thinned final-layer tail
+    [ctx*tl, e] with tl = min(8, t) (caller reads row tl-1 per context)."""
     dh = e // heads
-    x = x_ref[...].reshape(ctx * t, e)
     for l in range(layers):
         if last_only and l == layers - 1:
             # ---- thinned final layer: the caller only reads position t-1,
@@ -124,8 +125,7 @@ def _block_kernel(x_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref,
             xl = xl + jnp.dot(hact, wfc2_ref[l],
                               preferred_element_type=jnp.float32
                               ).astype(jnp.bfloat16)
-            o_ref[...] = xl.reshape(ctx, tl, e)[:, tl - 1:tl, :]
-            return
+            return xl
         xn = _ln_f32(x.astype(jnp.float32),
                      g1_ref[l][None, :]).astype(jnp.bfloat16)
         qkv_s[...] = jnp.dot(xn, wqkv_ref[l],
@@ -161,7 +161,51 @@ def _block_kernel(x_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref,
         x = x + jnp.dot(hact, wfc2_ref[l],
                         preferred_element_type=jnp.float32
                         ).astype(jnp.bfloat16)
-    o_ref[...] = x.reshape(ctx, t, e)
+    return x
+
+
+def _block_kernel(x_ref, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref,
+                  g1_ref, g2_ref, o_ref, qkv_s, att_s, *,
+                  layers: int, heads: int, ctx: int, t: int, e: int,
+                  last_only: bool):
+    x = x_ref[...].reshape(ctx * t, e)
+    out = _run_layers(x, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref, g1_ref,
+                      g2_ref, qkv_s, att_s, layers=layers, heads=heads,
+                      ctx=ctx, t=t, e=e, last_only=last_only)
+    if last_only:
+        tl = min(8, t)
+        o_ref[...] = out.reshape(ctx, tl, e)[:, tl - 1:tl, :]
+    else:
+        o_ref[...] = out.reshape(ctx, t, e)
+
+
+def _e2e_kernel(tok_ref, wte_ref, wpet_ref, wht_ref, wqkv_ref, wproj_ref,
+                wfc_ref, wfc2_ref, g1_ref, g2_ref, gf_ref, o_ref, qkv_s,
+                att_s, *, layers: int, heads: int, ctx: int, t: int, e: int,
+                vpad: int):
+    """tokens [ctx, t, 1] int32 -> last-position logits [ctx, tl, vpad] f32
+    (caller reads row tl-1; columns >= vocab are zero-weight padding).
+
+    Folds the embedding gather (as a one-hot matmul against the VMEM-resident
+    wte — the XLA gather round-trips the [N, T, E] embedded activations
+    through HBM) and the final LayerNorm + tied head matmul into the same
+    program as the transformer stack.  Mosaic cannot relayout lane<->sublane
+    shape casts, so tokens arrive with a unit lane dim (one-hot compare is a
+    lane *broadcast*), the ctx-tiled wpe and the padded transposed head
+    weights are precomputed by the wrapper."""
+    vocab = wte_ref.shape[0]
+    toks = tok_ref[...].reshape(ctx * t, 1)
+    oh = (toks == jax.lax.broadcasted_iota(
+        jnp.int32, (ctx * t, vocab), 1)).astype(jnp.bfloat16)
+    x = (jnp.dot(oh, wte_ref[...], preferred_element_type=jnp.float32)
+         + wpet_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+    xl = _run_layers(x, wqkv_ref, wproj_ref, wfc_ref, wfc2_ref, g1_ref,
+                     g2_ref, qkv_s, att_s, layers=layers, heads=heads,
+                     ctx=ctx, t=t, e=e, last_only=True)   # [ctx*tl, e]
+    tl = min(8, t)
+    xf = _ln_f32(xl.astype(jnp.float32), gf_ref[...][None, :])
+    logits = jnp.dot(xf, wht_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = logits.reshape(ctx, tl, vpad)
 
 
 def stack_block_weights(params: Any, cfg) -> dict:
@@ -276,6 +320,57 @@ def _blocks_call(x: jnp.ndarray, stacks: dict, cfg, *, ctx: int,
       stacks["g1"], stacks["g2"])
 
 
+def _e2e_call(tokens: jnp.ndarray, params: Any, stacks: dict, cfg, *,
+              ctx: int, interpret: bool) -> jnp.ndarray:
+    """tokens [NC, T] int32 -> last-position logits [NC, vocab] f32, with
+    embedding, all layers, final LN and the tied head in one pallas call."""
+    p = params["params"] if "params" in params else params
+    nc, t = tokens.shape
+    e = cfg.n_embd
+    tl = min(8, t)
+    vpad = 128
+    wte = p["wte"].astype(jnp.bfloat16)
+    # ctx-tiled position embeddings and zero-padded transposed head weights,
+    # precomputed here (XLA hoists them as loop constants) so the kernel
+    # needs no lane<->sublane relayouts
+    wpet = jnp.tile(p["wpe"][:t], (ctx, 1)).astype(jnp.bfloat16)
+    wht = jnp.concatenate(
+        [wte.astype(jnp.float32).T,
+         jnp.zeros((e, vpad - cfg.vocab_size), jnp.float32)], axis=1)
+    gf = p["ln_f"]["scale"].astype(jnp.float32)
+    kern = functools.partial(_e2e_kernel, layers=cfg.n_layer,
+                             heads=cfg.n_head, ctx=ctx, t=t, e=e, vpad=vpad)
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: tuple(0 for _ in arr.shape),
+        memory_space=pltpu.VMEM)
+    weight_bytes = sum(2 * int(np.prod(stacks[k].shape)) for k in
+                       ("wqkv", "wproj", "wfc", "wfc2"))
+    tile_bytes = 2 * ctx * t * 4 + 2 * ctx * tl * vpad * 4
+    scratch_bytes = ctx * t * 4 * e * 2 + ctx * t * e * 4  # qkv/att + embed
+    vmem_limit = min(int(1.5 * (weight_bytes + tile_bytes + scratch_bytes)
+                         + 16 * 2 ** 20), 110 * 2 ** 20)
+    out = pl.pallas_call(
+        kern,
+        grid=(nc // ctx,),
+        in_specs=[pl.BlockSpec((ctx, t, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  full(wte), full(wpet), full(wht)] +
+                 [full(stacks[k]) for k in
+                  ("wqkv", "wproj", "wfc", "wfc2", "g1", "g2")] +
+                 [full(gf)],
+        out_specs=pl.BlockSpec((ctx, tl, vpad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nc, tl, vpad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ctx * t, 3 * e), jnp.bfloat16),
+                        pltpu.VMEM((ctx * t, e), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(tokens.astype(jnp.int32)[:, :, None], wte, wpet, wht, stacks["wqkv"],
+      stacks["wproj"], stacks["wfc"], stacks["wfc2"], stacks["g1"],
+      stacks["g2"], gf)
+    return out[:, tl - 1, :cfg.vocab_size]
+
+
 def fused_logits(params: Any, tokens: jnp.ndarray, cfg, *,
                  ctx_per_program: int | None = None,
                  layers_per_call: int | None = None,
@@ -294,25 +389,28 @@ def fused_logits(params: Any, tokens: jnp.ndarray, cfg, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    stacks = stack_block_weights(params, cfg)
+    if lpc >= cfg.n_layer:
+        # single-call path (2M/6M): embedding + layers + head in one kernel
+        pad = (-n) % ctx
+        toks = (jnp.pad(tokens, ((0, pad), (0, 0))) if pad else tokens)
+        logits = _e2e_call(toks, params, stacks, cfg, ctx=ctx,
+                           interpret=interpret)
+        return logits[:n] if pad else logits
+
+    # chunked path (85M): XLA embedding, per-chunk kernels, XLA head
     wte, wpe = p["wte"], p["wpe"]
     x = (wte[tokens] + wpe[None, :t]).astype(jnp.bfloat16)
-
     pad = (-n) % ctx
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-
-    stacks = stack_block_weights(params, cfg)
-    if lpc >= cfg.n_layer:
-        xl = _blocks_call(x, stacks, cfg, ctx=ctx, last_only=True,
-                          interpret=interpret)[:, 0, :]
-    else:
-        for lo in range(0, cfg.n_layer, lpc):
-            hi = min(lo + lpc, cfg.n_layer)
-            chunk = {k: v[lo:hi] for k, v in stacks.items()}
-            last = hi == cfg.n_layer
-            x = _blocks_call(x, chunk, cfg, ctx=ctx, last_only=last,
-                             interpret=interpret)
-        xl = x[:, 0, :]
+    for lo in range(0, cfg.n_layer, lpc):
+        hi = min(lo + lpc, cfg.n_layer)
+        chunk = {k: v[lo:hi] for k, v in stacks.items()}
+        last = hi == cfg.n_layer
+        x = _blocks_call(x, chunk, cfg, ctx=ctx, last_only=last,
+                         interpret=interpret)
+    xl = x[:, 0, :]
     if pad:
         xl = xl[:n]
     xf = _ln_f32(xl.astype(jnp.float32), p["ln_f"]["scale"][None, :])
