@@ -16,6 +16,8 @@ import argparse
 import json
 import os
 
+from mapf_gpt_tpu.eval.harness import DEFAULT_MAX_CONTEXTS
+
 DEFAULT_SUITES = ["01-random", "02-mazes", "03-warehouse", "04-movingai",
                   "05-puzzles"]
 
@@ -40,7 +42,8 @@ def main(argv=None):
     p.add_argument("--argmax", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--policy-batch", type=int, default=8192)
-    p.add_argument("--max-contexts", type=int, default=12288)
+    p.add_argument("--max-contexts", type=int,
+                   default=DEFAULT_MAX_CONTEXTS)
     args = p.parse_args(argv)
 
     from mapf_gpt_tpu.eval import run as eval_run

@@ -88,6 +88,15 @@ class EvalResult:
                       f, indent=1)
 
 
+# Per-device-batch cap on env x agent contexts per step.  History: rounds
+# 2-3 reproducibly crashed the tunneled v5e worker above ~16k contexts
+# (warehouse A=160 x 128 envs) and the CLIs carried a magic 12288; round 4
+# replaced the tokenizer's scalar-gather window extraction (the faulting
+# op) with MXU selector matmuls and re-probed the envelope
+# (profile_envelope.py) — see CONFORMANCE.md for the measured bound.
+DEFAULT_MAX_CONTEXTS = 12288
+
+
 class Evaluator:
     """Runs episode specs against a policy with shape-tier batching."""
 

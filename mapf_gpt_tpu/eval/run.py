@@ -29,7 +29,8 @@ import numpy as np
 import yaml
 
 from mapf_gpt_tpu.eval.harness import (
-    Evaluator, expand_grid_search, plot_view, tabular_view)
+    DEFAULT_MAX_CONTEXTS, Evaluator, expand_grid_search, plot_view,
+    tabular_view)
 from mapf_gpt_tpu.maps import MapRegistry
 from mapf_gpt_tpu.models.gpt import CONFIGS, init_params
 
@@ -131,12 +132,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--policy-batch", type=int, default=8192,
                    help="microbatch the per-step policy forward (0 = off)")
-    p.add_argument("--max-contexts", type=int, default=12288,
-                   help="cap env x agent contexts per device batch "
-                        "(>~16k contexts reproducibly crashed the v5e "
-                        "worker on warehouse A=160 x 128-env batches — a "
-                        "device fault, not an XLA error; 12288 is the "
-                        "proven-safe envelope)")
+    p.add_argument("--max-contexts", type=int, default=DEFAULT_MAX_CONTEXTS,
+                   help="cap env x agent contexts per device batch (see "
+                        "harness.DEFAULT_MAX_CONTEXTS and CONFORMANCE.md "
+                        "for the measured device-fault envelope)")
     args = p.parse_args(argv)
 
     suite_name = os.path.basename(os.path.normpath(args.suite))
