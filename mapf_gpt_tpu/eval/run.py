@@ -129,6 +129,10 @@ def main(argv=None):
     p.add_argument("--argmax", action="store_true")
     p.add_argument("--limit", type=int, default=None,
                    help="cap the number of episodes (smoke runs)")
+    p.add_argument("--agents", type=int, nargs="*", default=None,
+                   help="restrict the grid search to these num_agents "
+                        "values (e.g. ablation tables at one density; "
+                        "every agent tier is its own kernel compile)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--policy-batch", type=int, default=8192,
                    help="microbatch the per-step policy forward (0 = off)")
@@ -148,6 +152,8 @@ def main(argv=None):
         suite_cfg = yaml.safe_load(f)
 
     specs = expand_grid_search(suite_cfg["environment"])
+    if args.agents:
+        specs = [s for s in specs if s.num_agents in set(args.agents)]
     if args.limit:
         specs = specs[: args.limit]
     algo_cfg, mask_cfg = resolve_algorithm(suite_cfg, args)
