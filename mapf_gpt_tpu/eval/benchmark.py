@@ -16,7 +16,6 @@ import argparse
 import json
 import os
 
-from mapf_gpt_tpu.eval.harness import DEFAULT_MAX_CONTEXTS
 
 DEFAULT_SUITES = ["01-random", "02-mazes", "03-warehouse", "04-movingai",
                   "05-puzzles"]
@@ -42,8 +41,9 @@ def main(argv=None):
     p.add_argument("--argmax", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--policy-batch", type=int, default=8192)
-    p.add_argument("--max-contexts", type=int,
-                   default=DEFAULT_MAX_CONTEXTS)
+    p.add_argument("--max-contexts", type=int, default=None,
+                   help="default: the per-model measured envelope "
+                        "(harness.default_max_contexts)")
     args = p.parse_args(argv)
 
     from mapf_gpt_tpu.eval import run as eval_run
@@ -56,8 +56,9 @@ def main(argv=None):
             continue
         argv2 = ["--suite", suite_dir, "--out-dir", args.out_dir,
                  "--batch-envs", str(args.batch_envs),
-                 "--policy-batch", str(args.policy_batch),
-                 "--max-contexts", str(args.max_contexts)]
+                 "--policy-batch", str(args.policy_batch)]
+        if args.max_contexts is not None:
+            argv2 += ["--max-contexts", str(args.max_contexts)]
         if args.weights:
             argv2 += ["--weights", args.weights]
         if args.model:

@@ -90,11 +90,26 @@ class EvalResult:
 
 # Per-device-batch cap on env x agent contexts per step.  History: rounds
 # 2-3 reproducibly crashed the tunneled v5e worker above ~16k contexts
-# (warehouse A=160 x 128 envs) and the CLIs carried a magic 12288; round 4
-# replaced the tokenizer's scalar-gather window extraction (the faulting
-# op) with MXU selector matmuls and re-probed the envelope
-# (profile_envelope.py) — see CONFORMANCE.md for the measured bound.
-DEFAULT_MAX_CONTEXTS = 12288
+# (warehouse A=160 x 128 envs) and the CLIs carried a magic 12288.  Round 4
+# replaced the tokenizer's scalar-gather window extraction (the prime
+# suspect) with MXU selector matmuls and re-probed (profile_envelope.py):
+# 2M now runs 24576 contexts (128 envs x 192 agents) clean — the old fault
+# was the gather — while 6M still faults at 12288 (clean at 8192) and 85M
+# faulted at 2048 contexts on a 288^2-grid rollout: the residual fault
+# tracks the megakernel's size, so the default cap is model-tiered.
+# Measured data in CONFORMANCE.md; any value remains overridable.
+DEFAULT_MAX_CONTEXTS = 12288  # model-agnostic fallback
+
+
+def default_max_contexts(model_cfg) -> int:
+    """Measured per-model device-fault envelope (v5e, round 4)."""
+    if model_cfg is None:         # model-less harness tests
+        return DEFAULT_MAX_CONTEXTS
+    if model_cfg.n_embd <= 192:   # 2M: probed clean through 24576
+        return 24576
+    if model_cfg.n_embd <= 384:   # 6M: faults at 12288, clean at 8192
+        return 8192
+    return 2048                   # 85M: conservative (faulted on big grids)
 
 
 class Evaluator:
@@ -104,8 +119,10 @@ class Evaluator:
                  batch_envs: int = 128, do_sample: bool = True,
                  sample_seed: int = 0, mesh=None,
                  policy_batch: int | None = 8192,
-                 max_contexts: int = 32768,
+                 max_contexts: int | None = None,
                  mask_cfg=None):
+        if max_contexts is None:
+            max_contexts = default_max_contexts(model_cfg)
         self.registry = registry
         self.model_cfg = model_cfg
         self.params = params

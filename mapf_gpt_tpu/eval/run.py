@@ -29,8 +29,7 @@ import numpy as np
 import yaml
 
 from mapf_gpt_tpu.eval.harness import (
-    DEFAULT_MAX_CONTEXTS, Evaluator, expand_grid_search, plot_view,
-    tabular_view)
+    Evaluator, expand_grid_search, plot_view, tabular_view)
 from mapf_gpt_tpu.maps import MapRegistry
 from mapf_gpt_tpu.models.gpt import CONFIGS, init_params
 
@@ -136,10 +135,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--policy-batch", type=int, default=8192,
                    help="microbatch the per-step policy forward (0 = off)")
-    p.add_argument("--max-contexts", type=int, default=DEFAULT_MAX_CONTEXTS,
-                   help="cap env x agent contexts per device batch (see "
-                        "harness.DEFAULT_MAX_CONTEXTS and CONFORMANCE.md "
-                        "for the measured device-fault envelope)")
+    p.add_argument("--max-contexts", type=int, default=None,
+                   help="cap env x agent contexts per device batch; "
+                        "default = harness.default_max_contexts(model) — "
+                        "the measured per-model device-fault envelope "
+                        "(CONFORMANCE.md)")
     args = p.parse_args(argv)
 
     suite_name = os.path.basename(os.path.normpath(args.suite))
