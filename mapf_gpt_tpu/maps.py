@@ -375,6 +375,18 @@ def sample_instance(
         grid = pad_grid(grid)
         smask = np.pad(smask, C2G_RADIUS, constant_values=False)
         gmask = np.pad(gmask, C2G_RADIUS, constant_values=False)
+    else:
+        # obs._c2g_windows' one-hot window extraction requires a full
+        # C2G_RADIUS obstacle border (out-of-range window cells silently
+        # read 0 rather than clamping) — fail loudly here instead of
+        # producing wrong observations downstream (advisor r4).
+        r = C2G_RADIUS
+        border = np.ones_like(grid)
+        border[r:-r, r:-r] = False
+        if not grid[border].all():
+            raise ValueError(
+                f"pad=False requires a {r}-cell obstacle border "
+                "(see maps.pad_grid); got free cells within the border")
     rng = np.random.RandomState(seed & 0xFFFFFFFF)
     comp = _components(grid)
     free = np.argwhere(~grid)

@@ -248,7 +248,8 @@ def default_ctx_per_program(cfg) -> int:
     C=6 forced); set MAPF_GPT_TPU_CTX to override."""
     import os
 
-    env = os.environ.get("MAPF_GPT_TPU_CTX")
+    env = os.environ.get("MAPF_GPT_TPU_CTX")  # clamped to a per-model VMEM
+    # cap (see below) — a warning is emitted if the requested value exceeds it
     if env:
         try:
             ctx = int(env)
@@ -260,10 +261,18 @@ def default_ctx_per_program(cfg) -> int:
             raise ValueError(f"MAPF_GPT_TPU_CTX={ctx} must be >= 1")
         # the override is global to the process; cap it against this config's
         # VMEM envelope so a value tuned for the 2M shape can't blow the
-        # budget when a 6M/85M model compiles in the same process
+        # budget when a 6M/85M model compiles in the same process.  Warn when
+        # clamping so a user tuning ctx isn't silently benchmarking a
+        # different value than they set (advisor r4).
         cap = {True: 24, False: 8}[cfg.n_embd <= 192]
         if cfg.n_embd > 384:
             cap = 4
+        if ctx > cap:
+            import warnings
+
+            warnings.warn(
+                f"MAPF_GPT_TPU_CTX={ctx} exceeds the n_embd={cfg.n_embd} "
+                f"VMEM cap; clamped to {cap}", stacklevel=2)
         return min(ctx, cap)
     if cfg.n_embd <= 192:
         return 8   # divides the bench/eval batch shapes -> no pad copy
@@ -328,7 +337,12 @@ def _e2e_call(tokens: jnp.ndarray, params: Any, stacks: dict, cfg, *,
     nc, t = tokens.shape
     e = cfg.n_embd
     tl = min(8, t)
-    vpad = 128
+    vpad = 128  # one lane tile; all current configs have vocab 67
+    if cfg.vocab_size > vpad:
+        raise ValueError(
+            f"vocab_size={cfg.vocab_size} exceeds the e2e kernel's single "
+            f"lane-tile head padding (vpad={vpad}); widen vpad to "
+            "-(-vocab_size // 128) * 128 and re-tune the head matmul")
     wte = p["wte"].astype(jnp.bfloat16)
     # ctx-tiled position embeddings and zero-padded transposed head weights,
     # precomputed here (XLA hoists them as loop constants) so the kernel

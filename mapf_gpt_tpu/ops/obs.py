@@ -119,6 +119,12 @@ def observe(c2g: jnp.ndarray, pos: jnp.ndarray, goal: jnp.ndarray,
 
     Args:
       c2g: int32 [A, H, W] current-goal cost2go fields (envs.env.current_c2g).
+        PRECONDITION: the underlying grid must carry a >= C2G_RADIUS obstacle
+        border (maps.pad_grid adds one), so agent positions always sit at
+        least C2G_RADIUS cells from the array edge.  The one-hot window
+        extraction in _c2g_windows yields a silent 0 ("distance 0") for any
+        out-of-range window cell rather than clamping like dynamic_slice —
+        an unpadded grid would produce wrong observations, not an error.
       pos, goal: int32 [A, 2]; hist: int32 [A, P] symbols 0..5; active: bool [A].
 
     Returns:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import glob
 import os
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -37,7 +38,7 @@ class ArrowShardStream:
         self._path = path
         self._process_index = process_index
         self._process_count = process_count
-        self._initial_count = None  # pinned on first scan (slice stability)
+        self._initial_files = None  # pinned on first scan (slice stability)
         self.files = self._scan()
         if not self.files:
             raise FileNotFoundError(f"no .arrow shards under {path}")
@@ -55,20 +56,25 @@ class ArrowShardStream:
             files = sorted(glob.glob(os.path.join(self._path, "*.arrow")))
         else:
             files = [self._path]
-        # pin the contiguous-split boundaries to the file count seen at init
-        # so later rescans (shard count growing under a concurrent generator)
-        # never shift another process's slice; files appearing after init are
-        # dealt round-robin by index, which is stable across rescans too
-        if self._initial_count is None:
-            self._initial_count = len(files)
-        base = files[:self._initial_count]
+        # pin the initial assignment as a FROZEN file list so later rescans
+        # (shard count growing under a concurrent generator) never shift
+        # another process's slice — sorting is irrelevant once frozen, so
+        # chunk_10 vs chunk_2 lexicographic quirks can't reshuffle slices.
+        # Files appearing after init are assigned by a stable per-name hash
+        # (crc32 of basename), which every process computes identically and
+        # which never changes as more files appear.
+        if self._initial_files is None:
+            self._initial_files = tuple(files)
+        initial = set(self._initial_files)
+        base = list(self._initial_files)
         per = max(len(base) // self._process_count, 1)
         lo = self._process_index * per
         hi = (len(base) if self._process_index == self._process_count - 1
               else lo + per)
         mine = base[lo:hi] or base[:1]
-        mine += [f for i, f in enumerate(files[self._initial_count:])
-                 if i % self._process_count == self._process_index]
+        mine += [f for f in files if f not in initial
+                 and zlib.crc32(os.path.basename(f).encode())
+                 % self._process_count == self._process_index]
         return mine
 
     def _load_file(self, path: str) -> tuple[np.ndarray, np.ndarray]:

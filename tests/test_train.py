@@ -84,23 +84,27 @@ def test_rescan_slices_stay_stable_as_shards_grow(tmp_path):
     """Shards written after init join the stream without shifting the
     initial contiguous slice boundaries (advisor r3: boundary drift under a
     concurrent generator caused transient overlap/skip between processes)."""
-    for i in range(4):
-        write_arrow_shard(str(tmp_path / f"c_{i}.arrow"),
-                          np.zeros((8, 256), dtype=np.int8) + i,
+    # realistic names: once part_10 exists it sorts lexicographically BEFORE
+    # part_2, which broke the round-4 positional scheme (advisor r4 medium)
+    def shard(i):
+        return str(tmp_path / f"chunk_600_part_{i}.arrow")
+
+    for i in range(9):
+        write_arrow_shard(shard(i), np.zeros((8, 256), dtype=np.int8) + i,
                           np.zeros((8,), dtype=np.int8))
     s0 = ArrowShardStream(str(tmp_path), 4, process_index=0, process_count=2)
     s1 = ArrowShardStream(str(tmp_path), 4, process_index=1, process_count=2)
     base0, base1 = list(s0.files), list(s1.files)
-    for i in range(4, 7):  # generator keeps writing
-        write_arrow_shard(str(tmp_path / f"c_{i}.arrow"),
-                          np.zeros((8, 256), dtype=np.int8) + i,
+    for i in range(9, 14):  # generator keeps writing, crossing two digits
+        write_arrow_shard(shard(i), np.zeros((8, 256), dtype=np.int8) + i,
                           np.zeros((8,), dtype=np.int8))
-    f0, f1 = s0._scan(), s1._scan()
-    # original slices unchanged, new files dealt disjointly and completely
-    assert f0[:len(base0)] == base0 and f1[:len(base1)] == base1
-    assert set(f0).isdisjoint(f1)
-    assert sorted(f0 + f1) == sorted(
-        str(tmp_path / f"c_{i}.arrow") for i in range(7))
+        f0, f1 = s0._scan(), s1._scan()
+        # original slices unchanged, new files dealt disjointly+completely,
+        # and the assignment is identical on every rescan
+        assert f0[:len(base0)] == base0 and f1[:len(base1)] == base1
+        assert set(f0).isdisjoint(f1)
+        assert sorted(f0 + f1) == sorted(shard(j) for j in range(i + 1))
+        assert (f0, f1) == (s0._scan(), s1._scan())
 
 
 def test_write_arrow_shard_is_atomic(tmp_path, monkeypatch):
