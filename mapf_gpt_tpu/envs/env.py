@@ -81,6 +81,18 @@ class MapfEnvSpec(NamedTuple):
                               # the reference's on-demand Cost2GoPartial,
                               # ref:mapf_gpt/observation_generator.cpp:432-485,
                               # which exists to bound host CPU memory)
+    lazy_c2g: bool = False    # lifelong-only: hold each agent's *current*
+                              # goal field [A, 1, H, W] instead of the whole
+                              # queue's [A, K, H, W], and recompute an
+                              # agent's field inside step() when its queue
+                              # advances — the TPU analogue of the
+                              # reference's recompute-on-goal-change
+                              # (ref:mapf_gpt/observation_generator.cpp:432-485).
+                              # K-fold smaller state lifts the lifelong
+                              # envs/chip cap; the price is a warm-start
+                              # relaxation in every step (one verification
+                              # round when no agent advanced — see
+                              # ops/cost2go.relax_fixpoint)
 
 
 def reset(spec: MapfEnvSpec, grid: jnp.ndarray, starts: jnp.ndarray,
@@ -92,6 +104,11 @@ def reset(spec: MapfEnvSpec, grid: jnp.ndarray, starts: jnp.ndarray,
     free cells; they never move and are masked out of observations.
     """
     a, k = spec.num_agents, spec.num_queued_goals
+    if spec.lazy_c2g and spec.on_target == "restart":
+        # current-goal fields only; step() recomputes on queue-advance
+        c2g = cost2go_device(grid, goals_queue[:, 0].astype(jnp.int32))
+        return _initial_state(spec, grid, starts, goals_queue, active,
+                              c2g[:, None])
     goals_flat = goals_queue.reshape(a * k, 2).astype(jnp.int32)
     chunk = spec.c2g_chunk
     if chunk and chunk < a * k:
@@ -108,6 +125,12 @@ def reset(spec: MapfEnvSpec, grid: jnp.ndarray, starts: jnp.ndarray,
     else:
         c2g = cost2go_device(grid, goals_flat)
     c2g = c2g.reshape(a, k, spec.height, spec.width)
+    return _initial_state(spec, grid, starts, goals_queue, active, c2g)
+
+
+def _initial_state(spec: MapfEnvSpec, grid, starts, goals_queue, active,
+                   c2g) -> EnvState:
+    a = spec.num_agents
     on_goal = jnp.all(starts == goals_queue[:, 0], axis=-1)
     return EnvState(
         pos=starts.astype(jnp.int32),
@@ -128,9 +151,14 @@ def reset(spec: MapfEnvSpec, grid: jnp.ndarray, starts: jnp.ndarray,
 
 
 def current_c2g(state: EnvState) -> jnp.ndarray:
-    """The [A, H, W] cost2go fields for each agent's *current* goal."""
+    """The [A, H, W] cost2go fields for each agent's *current* goal.
+
+    Works for both layouts: dense [A, K, H, W] (index by goal_idx) and lazy
+    [A, 1, H, W] (the single slot IS the current field — the clip makes the
+    gather read it regardless of goal_idx)."""
+    idx = jnp.minimum(state.goal_idx, state.c2g.shape[1] - 1)
     return jnp.take_along_axis(
-        state.c2g, state.goal_idx[:, None, None, None], axis=1).squeeze(1)
+        state.c2g, idx[:, None, None, None], axis=1).squeeze(1)
 
 
 def step(spec: MapfEnvSpec, state: EnvState, actions: jnp.ndarray) -> EnvState:
@@ -165,10 +193,29 @@ def step(spec: MapfEnvSpec, state: EnvState, actions: jnp.ndarray) -> EnvState:
             jnp.logical_and(advance, jnp.logical_not(frozen)),
             state.goals_reached < spec.num_queued_goals)
         goals_reached = state.goals_reached + achieved.astype(jnp.int32)
+        if spec.lazy_c2g:
+            # warm-start relaxation: unchanged agents' fields are already
+            # fixpoints (one verification round); agents whose queue just
+            # advanced are re-seeded from their new goal and relaxed to
+            # convergence in the same step (the TPU analogue of
+            # ref:observation_generator.cpp:432-485's recompute-on-change)
+            from mapf_gpt_tpu.ops.cost2go import (INF, goal_seed,
+                                                  relax_fixpoint)
+
+            changed = jnp.logical_and(new_idx != state.goal_idx,
+                                      jnp.logical_not(frozen))
+            fresh, free = goal_seed(state.grid, new_goal)
+            exist = jnp.where(state.c2g[:, 0] < 0, INF, state.c2g[:, 0])
+            seed = jnp.where(changed[:, None, None], fresh, exist)
+            dist = relax_fixpoint(seed, free)
+            c2g = jnp.where(dist >= INF, jnp.int32(-1), dist)[:, None]
+        else:
+            c2g = state.c2g
     else:
         new_idx = state.goal_idx
         new_goal = state.goal
         goals_reached = state.goals_reached
+        c2g = state.c2g
 
     on_goal_now = jnp.all(new_pos == new_goal, axis=-1)
     cost = jnp.where(jnp.logical_or(on_goal_now, frozen), state.cost, t)
@@ -181,4 +228,5 @@ def step(spec: MapfEnvSpec, state: EnvState, actions: jnp.ndarray) -> EnvState:
 
     return state._replace(pos=new_pos, goal=new_goal, goal_idx=new_idx,
                           hist=new_hist, t=t, done=done, cost=cost,
-                          ep_len=ep_len, goals_reached=goals_reached)
+                          ep_len=ep_len, goals_reached=goals_reached,
+                          c2g=c2g)

@@ -120,7 +120,7 @@ class Evaluator:
                  sample_seed: int = 0, mesh=None,
                  policy_batch: int | None = 8192,
                  max_contexts: int | None = None,
-                 mask_cfg=None):
+                 mask_cfg=None, lazy_lifelong: bool = True):
         if max_contexts is None:
             max_contexts = default_max_contexts(model_cfg)
         self.registry = registry
@@ -138,6 +138,11 @@ class Evaluator:
         # input-ablation switches (the reference's mask_* inference options,
         # ref:mapf_gpt/inference.py:23-26), applied inside the rollout
         self.mask_cfg = mask_cfg
+        # lifelong episodes hold [A,1,H,W] current-goal cost2go and
+        # recompute on queue-advance (lazy == dense bit-for-bit,
+        # tests/test_env.py::test_lazy_lifelong_c2g_matches_dense); K-fold
+        # smaller state lifts the lifelong envs/chip cap ~16x
+        self.lazy_lifelong = lazy_lifelong
         self._runners: dict = {}
         self._compiled: dict = {}
 
@@ -191,17 +196,20 @@ class Evaluator:
 
         th, tw, _, max_steps, on_target, kq = spec_key
         if spec_key not in self._runners:
-            # lifelong batches build A*K cost2go fields at reset; chunk the
-            # relaxation sweep so its intermediates stay bounded at any
-            # batch size (the 128-env warehouse K=16 reset OOM'd unchunked;
-            # see MapfEnvSpec.c2g_chunk)
+            lazy = on_target == "restart" and self.lazy_lifelong
+            # dense lifelong batches build A*K cost2go fields at reset;
+            # chunk the relaxation sweep so its intermediates stay bounded
+            # at any batch size (the 128-env warehouse K=16 reset OOM'd
+            # unchunked; see MapfEnvSpec.c2g_chunk).  Lazy mode computes A
+            # fields at reset and needs no chunking.
             chunk = (max(kq, 8192 // max(1, self.batch_envs))
-                     if kq > 1 else 0)
+                     if kq > 1 and not lazy else 0)
             env_spec = MapfEnvSpec(height=th, width=tw, num_agents=slots,
                                    max_episode_steps=max_steps,
                                    on_target=on_target,
                                    num_queued_goals=kq,
-                                   c2g_chunk=chunk)
+                                   c2g_chunk=chunk,
+                                   lazy_c2g=lazy)
             run = make_batch_rollout(env_spec, self.model_cfg,
                                      do_sample=self.do_sample,
                                      policy_batch=self.policy_batch,

@@ -82,25 +82,14 @@ def _relax_round(dist: jnp.ndarray, free: jnp.ndarray) -> jnp.ndarray:
     return dist
 
 
-def cost2go_device(grid: jnp.ndarray, goals: jnp.ndarray) -> jnp.ndarray:
-    """Batched dense cost2go fields on device.
+def relax_fixpoint(dist0: jnp.ndarray, free: jnp.ndarray) -> jnp.ndarray:
+    """Iterate directional relaxation rounds until fixpoint.
 
-    Args:
-      grid: bool [H, W], True = obstacle.
-      goals: int32 [N, 2] goal cells (one field per goal).
-
-    Returns:
-      int32 [N, H, W]; -1 for unreachable cells and obstacles.
-    """
-    h, w = grid.shape
-    n = goals.shape[0]
-    free = jnp.logical_not(grid)[None, :, :]          # [1, H, W]
-    free = jnp.broadcast_to(free, (n, h, w))
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
-    at_goal = (rows == goals[:, 0, None, None]) & (cols == goals[:, 1, None, None])
-    dist0 = jnp.where(at_goal & free, jnp.int32(0), INF)
+    dist0: int32 [..., H, W] seed distances (INF = unreached; obstacles may
+    carry any value — each sweep forces them to INF); free: bool, same shape.
+    A seed that is already a fixpoint costs exactly one verification round,
+    which is what makes the lazy lifelong update cheap on no-advance steps
+    (envs.env.step)."""
 
     def cond(state):
         dist, prev_changed = state
@@ -114,4 +103,35 @@ def cost2go_device(grid: jnp.ndarray, goals: jnp.ndarray) -> jnp.ndarray:
     # one round first so while_loop's condition sees a real "changed" flag
     dist1 = _relax_round(dist0, free)
     dist, _ = jax.lax.while_loop(cond, body, (dist1, jnp.any(dist1 != dist0)))
+    return dist
+
+
+def goal_seed(grid: jnp.ndarray, goals: jnp.ndarray) -> tuple:
+    """(dist0, free) relaxation seed for batched per-goal fields.
+
+    grid: bool [H, W]; goals: int32 [N, 2].  Returns ([N,H,W] int32 seed with
+    0 at each goal, [N,H,W] bool free)."""
+    h, w = grid.shape
+    n = goals.shape[0]
+    free = jnp.logical_not(grid)[None, :, :]          # [1, H, W]
+    free = jnp.broadcast_to(free, (n, h, w))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
+    at_goal = (rows == goals[:, 0, None, None]) & (cols == goals[:, 1, None, None])
+    dist0 = jnp.where(at_goal & free, jnp.int32(0), INF)
+    return dist0, free
+
+
+def cost2go_device(grid: jnp.ndarray, goals: jnp.ndarray) -> jnp.ndarray:
+    """Batched dense cost2go fields on device.
+
+    Args:
+      grid: bool [H, W], True = obstacle.
+      goals: int32 [N, 2] goal cells (one field per goal).
+
+    Returns:
+      int32 [N, H, W]; -1 for unreachable cells and obstacles.
+    """
+    dist0, free = goal_seed(grid, goals)
+    dist = relax_fixpoint(dist0, free)
     return jnp.where(dist >= INF, jnp.int32(-1), dist)

@@ -189,3 +189,100 @@ def test_chunked_c2g_reset_matches_unchunked():
         chunked = menv.reset(spec, grid, starts, goals, active)
         np.testing.assert_array_equal(np.asarray(dense.c2g),
                                       np.asarray(chunked.c2g))
+
+
+def test_lazy_lifelong_c2g_matches_dense():
+    """lazy_c2g holds [A,1,H,W] and recomputes on queue-advance inside
+    step(); the visible trajectory — current_c2g, observations, positions,
+    goals, throughput — must equal the dense [A,K,H,W] mode bit-for-bit
+    over a whole episode (VERDICT r4 ask #4)."""
+    from mapf_gpt_tpu.maps import maze_grid, sample_instance
+    from mapf_gpt_tpu.ops.obs import observe
+
+    inst = sample_instance(maze_grid(9, seed=5), 4, seed=7,
+                           num_lifelong_goals=6)
+    h, w = inst.grid.shape
+    grid = jnp.asarray(inst.grid)
+    starts = jnp.asarray(inst.starts)
+    goals = jnp.asarray(inst.lifelong_goals)          # [4, 6, 2]
+    active = jnp.ones((4,), dtype=bool)
+    base = menv.MapfEnvSpec(height=h, width=w, num_agents=4,
+                            max_episode_steps=24, on_target="restart",
+                            num_queued_goals=6)
+    lazy_spec = base._replace(lazy_c2g=True)
+
+    dense = menv.reset(base, grid, starts, goals, active)
+    lazy = menv.reset(lazy_spec, grid, starts, goals, active)
+    assert lazy.c2g.shape == (4, 1, h, w)
+    np.testing.assert_array_equal(np.asarray(menv.current_c2g(dense)),
+                                  np.asarray(menv.current_c2g(lazy)))
+
+    def greedy(state):
+        """Walk each agent down its own cost2go field (ignoring conflicts)
+        so queues actually advance within the episode."""
+        c2g = np.asarray(menv.current_c2g(state))
+        pos = np.asarray(state.pos)
+        acts = []
+        for a in range(pos.shape[0]):
+            i, j = int(pos[a, 0]), int(pos[a, 1])
+            d = c2g[a, i, j]
+            act = 0
+            for cand, (ni, nj) in ((1, (i - 1, j)), (2, (i + 1, j)),
+                                   (3, (i, j - 1)), (4, (i, j + 1))):
+                if 0 <= c2g[a, ni, nj] < d:
+                    act = cand
+                    break
+            acts.append(act)
+        return jnp.asarray(acts, dtype=jnp.int32)
+
+    for _ in range(24):
+        acts = greedy(dense)
+        dense = menv.step(base, dense, acts)
+        lazy = menv.step(lazy_spec, lazy, acts)
+        np.testing.assert_array_equal(np.asarray(dense.pos),
+                                      np.asarray(lazy.pos))
+        np.testing.assert_array_equal(np.asarray(dense.goal),
+                                      np.asarray(lazy.goal))
+        np.testing.assert_array_equal(np.asarray(dense.goals_reached),
+                                      np.asarray(lazy.goals_reached))
+        np.testing.assert_array_equal(
+            np.asarray(menv.current_c2g(dense)),
+            np.asarray(menv.current_c2g(lazy)))
+        tok_d = observe(menv.current_c2g(dense), dense.pos, dense.goal,
+                        dense.hist, dense.active)
+        tok_l = observe(menv.current_c2g(lazy), lazy.pos, lazy.goal,
+                        lazy.hist, lazy.active)
+        np.testing.assert_array_equal(np.asarray(tok_d), np.asarray(tok_l))
+    assert int(dense.goals_reached.sum()) > 0  # the episode advanced queues
+
+
+def test_lazy_lifelong_under_vmap_scan():
+    """The lazy update must compile and run inside the batched rollout
+    pattern (vmap over envs + lax.scan over steps) with a consistent carry."""
+    from mapf_gpt_tpu.maps import maze_grid, sample_instance
+
+    insts = [sample_instance(maze_grid(9, seed=s), 3, seed=s,
+                             num_lifelong_goals=4) for s in (1, 2)]
+    h, w = insts[0].grid.shape
+    spec = menv.MapfEnvSpec(height=h, width=w, num_agents=3,
+                            max_episode_steps=8, on_target="restart",
+                            num_queued_goals=4, lazy_c2g=True)
+    grids = jnp.stack([jnp.asarray(i.grid) for i in insts])
+    starts = jnp.stack([jnp.asarray(i.starts) for i in insts])
+    goals = jnp.stack([jnp.asarray(i.lifelong_goals) for i in insts])
+    active = jnp.ones((2, 3), dtype=bool)
+
+    state = jax.vmap(lambda g, s, q, a: menv.reset(spec, g, s, q, a))(
+        grids, starts, goals, active)
+
+    @jax.jit
+    def run(state):
+        def body(st, _):
+            acts = jnp.ones((2, 3), jnp.int32)  # everyone tries 'up'
+            st = jax.vmap(lambda s, a: menv.step(spec, s, a))(st, acts)
+            return st, st.goals_reached
+        return jax.lax.scan(body, state, None, length=8)
+
+    final, reached = run(state)
+    assert final.c2g.shape == (2, 3, 1, h, w)
+    assert reached.shape == (8, 2, 3)
