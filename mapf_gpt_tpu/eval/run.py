@@ -140,6 +140,16 @@ def main(argv=None):
                         "default = harness.default_max_contexts(model) — "
                         "the measured per-model device-fault envelope "
                         "(CONFORMANCE.md)")
+    p.add_argument("--on-target", default=None,
+                   choices=["nothing", "restart"],
+                   help="override the suite's on_target (pogema's lifelong "
+                        "protocol uses 'restart', ref:create_env.py:28); "
+                        "results land under <suite>-lifelong/")
+    p.add_argument("--queued-goals", type=int, default=16,
+                   help="lifelong goal-queue depth K with "
+                        "--on-target restart (see EpisodeSpec)")
+    p.add_argument("--max-seeds", type=int, default=None,
+                   help="restrict the grid search to seeds < N")
     args = p.parse_args(argv)
 
     suite_name = os.path.basename(os.path.normpath(args.suite))
@@ -154,6 +164,18 @@ def main(argv=None):
     specs = expand_grid_search(suite_cfg["environment"])
     if args.agents:
         specs = [s for s in specs if s.num_agents in set(args.agents)]
+    if args.max_seeds is not None:
+        specs = [s for s in specs if s.seed < args.max_seeds]
+    if args.on_target:
+        import dataclasses
+
+        specs = [dataclasses.replace(
+            s, on_target=args.on_target,
+            num_queued_goals=(args.queued_goals
+                              if args.on_target == "restart" else 1))
+            for s in specs]
+        if args.on_target == "restart":
+            suite_name += "-lifelong"
     if args.limit:
         specs = specs[: args.limit]
     algo_cfg, mask_cfg = resolve_algorithm(suite_cfg, args)

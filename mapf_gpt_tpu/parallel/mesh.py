@@ -54,9 +54,22 @@ def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
     per-process file sharding."""
     sh = data_sharded(mesh, axis)
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sh, np.asarray(x)), tree)
+        # each process supplies an equal local slice; the global extent along
+        # `axis` is nproc x local.  Passing global_shape explicitly matters:
+        # without it make_array_from_process_local_data treats the local
+        # slice as the whole global array, silently building a different
+        # "global" array on every process (caught by the round-5 2-process
+        # run, tests/test_multiprocess.py).
+        nproc = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            gshape = list(x.shape)
+            gshape[axis] *= nproc
+            return jax.make_array_from_process_local_data(
+                sh, x, tuple(gshape))
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 

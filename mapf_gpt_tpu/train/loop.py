@@ -17,6 +17,7 @@ MFU / steps-per-s logging.  Multi-host: run one process per host under
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import time
 
@@ -74,7 +75,16 @@ def parse_args(argv=None):
 
 def train(args) -> dict:
     if args.distributed:
-        jax.distributed.initialize()
+        # TPU pods auto-detect; for manual process groups (and the CPU
+        # multi-process test) pass explicit coordinates via env vars
+        coord = os.environ.get("MAPF_GPT_TPU_COORDINATOR")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["MAPF_GPT_TPU_NUM_PROCESSES"]),
+                process_id=int(os.environ["MAPF_GPT_TPU_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
     proc, nproc = jax.process_index(), jax.process_count()
     is_main = proc == 0
 
@@ -154,17 +164,21 @@ def train(args) -> dict:
     for it in range(start_iter, max_iters + 1):
         if it % args.eval_interval == 0:
             ev = run_eval()
-            if is_main:
-                if ev:
-                    print(f"iter {it}: val_loss {ev[0]:.4f} val_acc {ev[1]:.4f}")
-                    if wandb:
-                        wandb.log({"val/loss": ev[0], "val/acc": ev[1]},
-                                  step=it)
-                if it > start_iter:
-                    ckpt.save_checkpoint(
-                        args.out_dir, it, jax.device_get(state),
-                        metadata={"model": args.model,
-                                  "val_loss": ev[0] if ev else None})
+            if is_main and ev:
+                print(f"iter {it}: val_loss {ev[0]:.4f} val_acc {ev[1]:.4f}")
+                if wandb:
+                    wandb.log({"val/loss": ev[0], "val/acc": ev[1]},
+                              step=it)
+            if it > start_iter:
+                # ALL processes must enter the save: orbax's
+                # CheckpointManager barriers across the process group, so a
+                # main-only call deadlocks multi-process runs (p0 waits in
+                # the save barrier, p1 in the next training collective —
+                # caught by the round-5 2-process run)
+                ckpt.save_checkpoint(
+                    args.out_dir, it, jax.device_get(state),
+                    metadata={"model": args.model,
+                              "val_loss": ev[0] if ev else None})
         if it == max_iters:
             break
         x, y = next(train_stream)

@@ -51,8 +51,10 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(tc: TrainConfig):
-    # clamp warmup for short runs (reference assumes max_iters >> 2000)
-    warmup = min(tc.warmup_iters, max(tc.lr_decay_iters // 2, 1))
+    # clamp warmup for short runs (reference assumes max_iters >> 2000):
+    # cap at 10% of the decay horizon so a 4k-iter run warms up for 400
+    # iters, not half its schedule; 30k+ runs keep the reference's 2000
+    warmup = min(tc.warmup_iters, max(tc.lr_decay_iters // 10, 1))
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=tc.learning_rate,
         warmup_steps=warmup, decay_steps=max(tc.lr_decay_iters, warmup + 1),

