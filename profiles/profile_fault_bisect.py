@@ -16,6 +16,11 @@ process):
               (no policy)
   nochunk   — policy with policy_batch=None (one kernel call over all
               contexts) — separates chunk-count from total-context effects
+  flax      — policy via the XLA layer-by-layer flax forward (no pallas
+              megakernel at all); a crash here exonerates the kernel
+  ctx2      — policy with MAPF_GPT_TPU_CTX=2 (smaller VMEM tile, 2x grid)
+  lpc1      — policy with 1 transformer layer per pallas call (minimum
+              per-call weight stack; x round-trips HBM between calls)
 
 Usage: python profiles/profile_fault_bisect.py [--model 6M] [--out f.json]
 Writes one JSON line per probe and a summary; runs on the real chip.
@@ -28,7 +33,7 @@ import subprocess
 import sys
 import time
 
-PROBES = ("rollout", "policy", "obsenv", "nochunk")
+PROBES = ("rollout", "policy", "obsenv", "nochunk", "flax", "ctx2", "lpc1")
 
 
 def _build_states(model: str, envs: int, agents: int, bigmap: bool):
@@ -80,10 +85,17 @@ def probe_child(probe: str, model: str, envs: int, agents: int,
     params = init_params(cfg, jax.random.PRNGKey(0))
     n = envs * agents
 
-    if probe in ("policy", "nochunk"):
+    if probe == "ctx2":
+        os.environ["MAPF_GPT_TPU_CTX"] = "2"
+    if probe == "lpc1":
+        from mapf_gpt_tpu.ops import fused_gpt as fg
+
+        fg.default_layers_per_call = lambda _cfg: 1
+
+    if probe in ("policy", "nochunk", "flax", "ctx2", "lpc1"):
         # the policy path exactly as the rollout runs it: inside a scan,
         # chunked (or not), but fed synthetic tokens — no env state at all
-        forward = make_forward(cfg)
+        forward = make_forward(cfg, use_fused=(probe != "flax"))
         pb = None if probe == "nochunk" else 8192
 
         def policy(tokens2d):
