@@ -1,7 +1,10 @@
 #!/bin/bash
-# Round-5 chip pipeline: wait for the 6M 30k run (pid $1) -> export ->
-# 6M five-suite benchmark -> 6M fault bisect -> first trained 85M ->
-# 85M 01-random + Berlin bigmap -> lifelong warehouse (2M) -> final bench.
+# Round-5 chip pipeline (v2): wait for the 6M 30k run (pid $1) -> export ->
+# 6M five-suite benchmark (one PROCESS per suite: round 4's single-process
+# run lost 04/05 when the 6M device fault killed the worker mid-03) ->
+# 6M fault bisect (lite) -> lifelong warehouse (2M, lazy c2g) ->
+# first trained 85M -> 85M 01-random -> Berlin bisect (lite) + gate ->
+# full bisects if time allows -> final bench.
 # One TPU process at a time throughout.
 set -u
 TRAIN6M_PID=${1:?pid of the running 6M trainer}
@@ -21,15 +24,32 @@ env JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python profiles/export_ckpt.py \
   >> "$LOG" 2>&1
 mark "6M export rc=$?"
 
-timeout 4500 python -u -m mapf_gpt_tpu.eval.benchmark \
+# 6M five-suite benchmark, process-isolated per suite; warehouse last and
+# at a conservative cap (round 4: 6M crashed mid-03 even at 8192)
+for s in 01-random 02-mazes 04-movingai 05-puzzles; do
+  timeout 1800 python -u -m mapf_gpt_tpu.eval.run \
+    --suite /root/reference/eval_configs/$s \
+    --weights out/r5_6m --model 6M --out-dir results_r5 \
+    > logs/eval_r5_6m_$s.log 2>&1
+  mark "6M $s rc=$?"
+done
+timeout 2400 python -u -m mapf_gpt_tpu.eval.run \
+  --suite /root/reference/eval_configs/03-warehouse \
   --weights out/r5_6m --model 6M --out-dir results_r5 \
-  > logs/eval_r5_6m.log 2>&1
-mark "6M five-suite eval rc=$?"
+  --max-contexts 4096 > logs/eval_r5_6m_03-warehouse.log 2>&1
+mark "6M 03-warehouse rc=$?"
 
-timeout 1800 python -u profiles/profile_fault_bisect.py --model 6M \
-  --envs 64 --agents 192 --out results_r5/fault_bisect_6M.json \
-  > logs/bisect_6m.log 2>&1
-mark "6M fault bisect rc=$?"
+timeout 1500 python -u profiles/profile_fault_bisect.py --model 6M \
+  --envs 64 --agents 192 --probes rollout policy obsenv \
+  --out results_r5/fault_bisect_6M.json > logs/bisect_6m.log 2>&1
+mark "6M fault bisect lite rc=$?"
+
+timeout 2400 python -u -m mapf_gpt_tpu.eval.run \
+  --suite /root/reference/eval_configs/03-warehouse \
+  --on-target restart --queued-goals 16 --max-seeds 16 \
+  --weights out/r3_2m --model 2M --out-dir results_r5 \
+  > logs/eval_r5_lifelong.log 2>&1
+mark "2M lifelong warehouse rc=$?"
 
 timeout 5400 python -u -m mapf_gpt_tpu.train.loop --model 85M \
   --train-data dataset/train_r3 --valid-data dataset/validation \
@@ -44,29 +64,28 @@ env JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python profiles/export_ckpt.py \
   >> "$LOG" 2>&1
 mark "85M export rc=$?"
 
-timeout 3600 python -u -m mapf_gpt_tpu.eval.run \
+timeout 3000 python -u -m mapf_gpt_tpu.eval.run \
   --suite /root/reference/eval_configs/01-random \
   --weights out/r5_85m --model 85M --out-dir results_r5 \
   > logs/eval_r5_85m.log 2>&1
 mark "85M 01-random rc=$?"
 
-timeout 1800 python -u profiles/profile_fault_bisect.py --model 85M \
-  --envs 8 --agents 256 --bigmap --out results_r5/fault_bisect_85M.json \
-  > logs/bisect_85m.log 2>&1
-mark "85M bigmap bisect rc=$?"
+timeout 1500 python -u profiles/profile_fault_bisect.py --model 85M \
+  --envs 8 --agents 256 --bigmap --probes rollout policy obsenv \
+  --out results_r5/fault_bisect_85M.json > logs/bisect_85m.log 2>&1
+mark "85M bigmap bisect lite rc=$?"
 
-timeout 2400 python -u -m mapf_gpt_tpu.eval.bigmap --map Berlin_1_256 \
+timeout 2000 python -u -m mapf_gpt_tpu.eval.bigmap --map Berlin_1_256 \
   --model 85M --weights out/r5_85m --envs 8 --agents 256 --steps 256 \
   --out-dir results_r5 > logs/bigmap_r5_85m.log 2>&1
 mark "85M Berlin gate rc=$?"
 
-timeout 2400 python -u -m mapf_gpt_tpu.eval.run \
-  --suite /root/reference/eval_configs/03-warehouse \
-  --on-target restart --queued-goals 16 --max-seeds 16 \
-  --weights out/r3_2m --model 2M --out-dir results_r5 \
-  > logs/eval_r5_lifelong.log 2>&1
-mark "2M lifelong warehouse rc=$?"
-
 timeout 1200 python -u bench.py > logs/bench_r5.log 2>&1
 mark "bench rc=$?"
+
+# bonus diagnostics if the round still has time
+timeout 1800 python -u profiles/profile_fault_bisect.py --model 6M \
+  --envs 64 --agents 192 --probes nochunk flax ctx2 lpc1 \
+  --out results_r5/fault_bisect_6M_stage2.json > logs/bisect_6m_s2.log 2>&1
+mark "6M fault bisect stage2 rc=$?"
 mark "CHAIN COMPLETE"
