@@ -24,20 +24,17 @@ env JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python profiles/export_ckpt.py \
   >> "$LOG" 2>&1
 mark "6M export rc=$?"
 
-# 6M five-suite benchmark, process-isolated per suite; warehouse last and
-# at a conservative cap (round 4: 6M crashed mid-03 even at 8192)
-for s in 01-random 02-mazes 04-movingai 05-puzzles; do
-  timeout 1800 python -u -m mapf_gpt_tpu.eval.run \
+# 6M five-suite benchmark, process-isolated per suite and uniformly at a
+# conservative 4096-context cap; warehouse last (round 4: the 6M device
+# fault killed a single-process run mid-03 even at 8192 contexts, losing
+# 04/05 — the faulting shape is not fully characterized, so play safe)
+for s in 01-random 02-mazes 04-movingai 05-puzzles 03-warehouse; do
+  timeout 2400 python -u -m mapf_gpt_tpu.eval.run \
     --suite /root/reference/eval_configs/$s \
     --weights out/r5_6m --model 6M --out-dir results_r5 \
-    > logs/eval_r5_6m_$s.log 2>&1
+    --max-contexts 4096 > logs/eval_r5_6m_$s.log 2>&1
   mark "6M $s rc=$?"
 done
-timeout 2400 python -u -m mapf_gpt_tpu.eval.run \
-  --suite /root/reference/eval_configs/03-warehouse \
-  --weights out/r5_6m --model 6M --out-dir results_r5 \
-  --max-contexts 4096 > logs/eval_r5_6m_03-warehouse.log 2>&1
-mark "6M 03-warehouse rc=$?"
 
 timeout 1500 python -u profiles/profile_fault_bisect.py --model 6M \
   --envs 64 --agents 192 --probes rollout policy obsenv \
