@@ -418,9 +418,16 @@ def sample_instance(
     lifelong = None
     if num_lifelong_goals > 0:
         lifelong = np.zeros((num_agents, num_lifelong_goals, 2), dtype=np.int32)
+        # queued goals obey the same placement mask as one-shot goals
+        # (pogema's lifelong warehouse spawns goals on the aisle cells
+        # only); fall back to any free cell if the mask is empty in a
+        # component
+        gcand = np.argwhere(~grid & gmask)
         for a in range(num_agents):
             c = comp[starts[a, 0], starts[a, 1]]
-            cells = free[comp[free[:, 0], free[:, 1]] == c]
+            cells = gcand[comp[gcand[:, 0], gcand[:, 1]] == c]
+            if len(cells) == 0:
+                cells = free[comp[free[:, 0], free[:, 1]] == c]
             idx = rng.randint(0, len(cells), size=num_lifelong_goals)
             lifelong[a] = cells[idx]
         goals = lifelong[:, 0].copy()
