@@ -37,16 +37,16 @@ timeout 2400 python -u -m mapf_gpt_tpu.eval.run \
   --max-contexts 4096 > logs/eval_r5_6m_03-warehouse.log 2>&1
 mark "6M 03-warehouse rc=$?"
 
-timeout 2400 python -u -m mapf_gpt_tpu.train.loop --model 85M \
+timeout 2700 python -u -m mapf_gpt_tpu.train.loop --model 85M \
   --train-data dataset/train_r3 --valid-data dataset/validation \
-  --out-dir out/r5_85m --grad-accum 1 --max-iters 2500 \
+  --out-dir out/r5_85m --grad-accum 1 --max-iters 3000 \
   > logs/train_r5_85m.log 2>&1
 mark "85M training rc=$?"
 
 env JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python profiles/export_ckpt.py \
   --model 85M --ckpt out/r5_85m --out checkpoints/MAPF-GPT-85M-r5.pt \
   --log logs/train_r5_85m.log --curve checkpoints/curve-85M-r5.json \
-  --note "round 5, first trained 85M: 2.5k-iter cosine, single v5e chip (batch 512, grad-accum 1)" \
+  --note "round 5, first trained 85M: 3k-iter cosine, single v5e chip (batch 512, grad-accum 1)" \
   >> "$LOG" 2>&1
 mark "85M export rc=$?"
 
@@ -65,7 +65,7 @@ timeout 2100 python -u -m mapf_gpt_tpu.eval.run \
 mark "2M lifelong warehouse rc=$?"
 
 timeout 1500 python -u -m mapf_gpt_tpu.eval.bigmap --map Berlin_1_256 \
-  --model 85M --weights out/r5_85m --envs 4 --agents 256 --steps 128 \
+  --model 85M --weights out/r5_85m --envs 4 --agents 256 --steps 256 \
   --out-dir results_r5 > logs/bigmap_r5_85m.log 2>&1
 mark "85M Berlin gate rc=$?"
 
