@@ -26,9 +26,12 @@ timeout 1500 python -u -m mapf_gpt_tpu.eval.run \
   > logs/eval_r5_6m_02-mazes.log 2>&1
 mark "6M 02-mazes rc=$?"
 
-timeout 1500 python -u -m mapf_gpt_tpu.eval.run \
+# 64 of the reference's 128 seeds per tier: halves the wall-clock of the
+# slowest suite so the 85M train fits before the driver cutoff (labeled
+# in the README table).
+timeout 1200 python -u -m mapf_gpt_tpu.eval.run \
   --suite /root/reference/eval_configs/03-warehouse \
-  --weights $W --model 6M --out-dir results_r5 \
+  --weights $W --model 6M --out-dir results_r5 --max-seeds 64 \
   --max-contexts 4096 > logs/eval_r5_6m_03-warehouse.log 2>&1
 mark "6M 03-warehouse rc=$?"
 
